@@ -1,0 +1,644 @@
+"""Problem DSL (reference optimization/problem.hpp:78-822).
+
+Holds decision variables, an optional cost, and constraint lists; `solve()`
+classifies the problem by linearity and dispatches to the no-op, Newton,
+SQP, or interior-point solver (reference problem.hpp:303-669).
+
+The TPU-native difference: instead of building Gradient/Jacobian/Hessian
+expression-graph drivers (reference problem.hpp:535-561), the cost and
+constraints are compiled once into pure JAX functions of the flat decision
+vector, and derivatives come from jax.grad / jax.jacfwd / jax.hessian.
+Non-decision variables feed in as runtime parameters, so Sleipnir's
+set-value-then-re-solve workflow does not retrace. Compiled solver loops are
+cached per problem structure, so repeated solves (multistart, warm starts)
+pay compilation once.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sleipnir_tpu.autodiff import expression as ex
+from sleipnir_tpu.autodiff.expression import CompiledEval, ConstExpr, Expr
+from sleipnir_tpu.autodiff.expression_type import ExpressionType
+from sleipnir_tpu.autodiff.variable import (
+    EqualityConstraints,
+    InequalityConstraints,
+    Variable,
+    VariableMatrix,
+)
+from sleipnir_tpu.optimization.solver import status_codes
+from sleipnir_tpu.optimization.solver.exit_status import ExitStatus
+from sleipnir_tpu.optimization.solver.funcs import (
+    IPMFunctions,
+    NewtonFunctions,
+    ScalingArrays,
+    SQPFunctions,
+)
+from sleipnir_tpu.optimization.solver.interior_point import (
+    make_interior_point,
+)
+from sleipnir_tpu.optimization.solver.iteration_info import IterationInfo
+from sleipnir_tpu.optimization.solver.newton import make_newton
+from sleipnir_tpu.optimization.solver.options import Options
+from sleipnir_tpu.optimization.solver.solve_driver import run_solver
+from sleipnir_tpu.optimization.solver.sqp import make_sqp
+from sleipnir_tpu.optimization.solver.util.bounds import (
+    get_bounds,
+    project_onto_bounds,
+)
+from sleipnir_tpu.optimization.solver.util.feasibility_restoration import (
+    restore,
+)
+from sleipnir_tpu.optimization.solver.util.problem_scaling import (
+    ProblemScaling,
+)
+
+
+class _FnBlock:
+    """A functional constraint block: residuals given directly as a JAX
+    function of the flat decision vector (the OCP fast path — one traced
+    program regardless of horizon length, instead of O(N) DSL nodes)."""
+
+    __slots__ = ("fn", "rows", "lin")
+
+    def __init__(self, fn: Callable, rows: int, lin: ExpressionType) -> None:
+        self.fn = fn
+        self.rows = rows
+        self.lin = lin
+
+
+class Problem:
+    """An optimization problem (reference optimization/problem.hpp:78)."""
+
+    def __init__(self) -> None:
+        self._var_ids: list[np.ndarray] = []
+        self._f: Expr | None = None
+        self._equality: list = []  # Expr | _FnBlock, in subject_to order
+        self._inequality: list = []
+        self._callbacks: list[Callable] = []
+        self._structure_version = 0
+        self._solver_cache: dict = {}
+        #: Enables projection of the initial guess into detected variable
+        #: bounds (reference SLEIPNIR_ENABLE_BOUND_PROJECTION,
+        #: CMakeLists.txt:35-38).
+        self.enable_bound_projection = False
+        self._last_state = None
+
+    # -- variable / cost / constraint registration -------------------------
+
+    def decision_variable(self, rows: int | None = None, cols: int = 1):
+        """Create decision variables (reference problem.hpp:78-130).
+
+        With no arguments returns a scalar Variable; otherwise a
+        rows x cols VariableMatrix.
+        """
+        self._structure_version += 1
+        if rows is None:
+            v = Variable()
+            self._var_ids.append(v.expr.ids.reshape(1))
+            return v
+        m = VariableMatrix(int(rows), int(cols))
+        self._var_ids.append(m.expr.ids.ravel())
+        return m
+
+    def symmetric_decision_variable(self, rows: int) -> VariableMatrix:
+        """Create a symmetric matrix of decision variables where the upper
+        triangle shares the lower triangle's variables
+        (reference problem.hpp:132-150)."""
+        self._structure_version += 1
+        count = rows * (rows + 1) // 2
+        flat = ex._registry.new_ids(count)
+        ids = np.zeros((rows, rows), dtype=np.int64)
+        k = 0
+        for i in range(rows):
+            for j in range(i + 1):
+                ids[i, j] = flat[k]
+                ids[j, i] = flat[k]
+                k += 1
+        self._var_ids.append(flat)
+        return VariableMatrix(ex.DecVarExpr(ids))
+
+    def minimize(self, cost) -> None:
+        """Set the cost to minimize (reference problem.hpp:151-170)."""
+        self._structure_version += 1
+        self._f = _as_scalar_expr(cost)
+
+    def maximize(self, objective) -> None:
+        """Set the objective to maximize (reference problem.hpp:172-194)."""
+        self._structure_version += 1
+        self._f = ex.neg(_as_scalar_expr(objective))
+
+    def subject_to(self, constraint) -> None:
+        """Add constraints (reference problem.hpp:196-234)."""
+        self._structure_version += 1
+        if isinstance(constraint, EqualityConstraints):
+            self._equality.extend(constraint.blocks)
+        elif isinstance(constraint, InequalityConstraints):
+            self._inequality.extend(constraint.blocks)
+        elif isinstance(constraint, (list, tuple)):
+            for c in constraint:
+                self.subject_to(c)
+        else:
+            raise TypeError(
+                f"subject_to() expects constraints, got {type(constraint)}"
+            )
+
+    def _subject_to_fn(
+        self,
+        fn: Callable,
+        rows: int,
+        lin: ExpressionType,
+        *,
+        equality: bool,
+    ) -> None:
+        """Register a functional constraint block (OCP fast path)."""
+        self._structure_version += 1
+        block = _FnBlock(fn, rows, lin)
+        (self._equality if equality else self._inequality).append(block)
+
+    def add_callback(self, callback: Callable) -> None:
+        """Add a per-iteration callback; returning True stops the solve
+        (reference problem.hpp:681-730)."""
+        self._callbacks.append(callback)
+
+    def clear_callbacks(self) -> None:
+        self._callbacks.clear()
+
+    # -- classification ----------------------------------------------------
+
+    def cost_function_type(self) -> ExpressionType:
+        """(reference problem.hpp:239-245)"""
+        return self._f.lin if self._f is not None else ExpressionType.NONE
+
+    @staticmethod
+    def _blocks_type(blocks) -> ExpressionType:
+        t = ExpressionType.NONE
+        for b in blocks:
+            t = max(t, b.lin)
+        return t
+
+    def equality_constraint_type(self) -> ExpressionType:
+        """(reference problem.hpp:250-258)"""
+        return self._blocks_type(self._equality)
+
+    def inequality_constraint_type(self) -> ExpressionType:
+        """(reference problem.hpp:263-271)"""
+        return self._blocks_type(self._inequality)
+
+    # -- compilation -------------------------------------------------------
+
+    def _all_ids(self) -> np.ndarray:
+        if not self._var_ids:
+            return np.zeros(0, dtype=np.int64)
+        return np.concatenate(self._var_ids)
+
+    def _compile(self):
+        """Compile f, c_e, c_i into (x, params) -> value JAX functions."""
+        all_ids = self._all_ids()
+        f_expr = self._f if self._f is not None else ConstExpr(0.0)
+        expr_blocks = [f_expr]
+        eq_getters = []
+        for b in self._equality:
+            if isinstance(b, _FnBlock):
+                eq_getters.append(b)
+            else:
+                eq_getters.append(len(expr_blocks))
+                expr_blocks.append(b)
+        ineq_getters = []
+        for b in self._inequality:
+            if isinstance(b, _FnBlock):
+                ineq_getters.append(b)
+            else:
+                ineq_getters.append(len(expr_blocks))
+                expr_blocks.append(b)
+
+        compiled = CompiledEval(expr_blocks, all_ids)
+
+        def gather(getters, vals, x, params):
+            parts = []
+            for gtr in getters:
+                if isinstance(gtr, _FnBlock):
+                    parts.append(jnp.reshape(gtr.fn(x), (-1,)))
+                else:
+                    parts.append(jnp.reshape(vals[gtr], (-1,)))
+            if not parts:
+                return jnp.zeros((0,), x.dtype)
+            return jnp.concatenate(parts)
+
+        def f_raw(x, params):
+            vals = compiled(x, params)
+            return jnp.reshape(vals[0], ())
+
+        def c_e_raw(x, params):
+            vals = compiled(x, params)
+            return gather(eq_getters, vals, x, params)
+
+        def c_i_raw(x, params):
+            vals = compiled(x, params)
+            return gather(ineq_getters, vals, x, params)
+
+        def rows_of(blocks) -> int:
+            return sum(
+                b.rows if isinstance(b, _FnBlock) else b.size for b in blocks
+            )
+
+        me = rows_of(self._equality)
+        mi = rows_of(self._inequality)
+
+        def row_linearity(blocks) -> np.ndarray:
+            out = []
+            for b in blocks:
+                rows = b.rows if isinstance(b, _FnBlock) else b.size
+                out.extend([b.lin] * rows)
+            return np.array(
+                [t == ExpressionType.LINEAR for t in out], dtype=bool
+            )
+
+        return {
+            "compiled": compiled,
+            "all_ids": all_ids,
+            "n": int(all_ids.shape[0]),
+            "me": me,
+            "mi": mi,
+            "f": f_raw,
+            "c_e": c_e_raw,
+            "c_i": c_i_raw,
+            "ineq_row_linear": row_linearity(self._inequality),
+        }
+
+    # -- solve -------------------------------------------------------------
+
+    def solve(self, options: Options | None = None, spy: bool = False, **kwargs):
+        """Solve the problem; the solution is written back into the original
+        Variables (reference problem.hpp:281-679)."""
+        if options is None:
+            options = Options()
+        if kwargs:
+            options = Options(
+                **{
+                    **{
+                        k: getattr(options, k)
+                        for k in Options.__dataclass_fields__
+                    },
+                    **kwargs,
+                }
+            )
+
+        f_type = self.cost_function_type()
+        c_e_type = self.equality_constraint_type()
+        c_i_type = self.inequality_constraint_type()
+
+        # No-op problem (reference problem.hpp:303-313)
+        if (
+            f_type <= ExpressionType.CONSTANT
+            and c_e_type <= ExpressionType.CONSTANT
+            and c_i_type <= ExpressionType.CONSTANT
+        ):
+            return ExitStatus.SUCCESS
+
+        start_time = time.monotonic()
+
+        comp = self._compile()
+        all_ids = comp["all_ids"]
+        n, me, mi = comp["n"], comp["me"], comp["mi"]
+        x0 = ex._registry.get(all_ids).astype(np.float64)
+        params = comp["compiled"].gather_params()
+
+        if mi > 0:
+            status, final_x = self._solve_ipm(
+                comp, x0, params, options, start_time
+            )
+        elif me > 0:
+            status, final_x = self._solve_sqp(
+                comp, x0, params, options, start_time
+            )
+        else:
+            status, final_x = self._solve_newton(
+                comp, x0, params, options, start_time
+            )
+
+        # Write the solution back into the decision variables
+        # (reference problem.hpp:676).
+        ex._registry.set(all_ids, np.asarray(final_x, dtype=np.float64))
+        return status
+
+    # -- derivative construction -------------------------------------------
+
+    def _derivatives(self, comp):
+        f_raw = comp["f"]
+        ce_raw = comp["c_e"]
+        ci_raw = comp["c_i"]
+        g_fn = jax.grad(f_raw, argnums=0)
+        H_f_fn = jax.hessian(f_raw, argnums=0)
+        A_e_fn = jax.jacfwd(ce_raw, argnums=0)
+        A_i_fn = jax.jacfwd(ci_raw, argnums=0)
+
+        def lag_c(x, y, z, params):
+            out = jnp.asarray(0.0, x.dtype)
+            if comp["me"] > 0:
+                out = out - y @ ce_raw(x, params)
+            if comp["mi"] > 0:
+                out = out - z @ ci_raw(x, params)
+            return out
+
+        H_c_fn = jax.hessian(lag_c, argnums=0)
+        return g_fn, H_f_fn, A_e_fn, A_i_fn, H_c_fn
+
+    # -- dispatch branches -------------------------------------------------
+
+    def _cache_key(self, kind, options: Options):
+        return (
+            kind,
+            self._structure_version,
+            options.tolerance,
+            options.max_iterations,
+            options.feasible_ipm,
+            options.dtype,
+        )
+
+    def _solve_newton(self, comp, x0, params, options, start_time):
+        """(reference problem.hpp:335-402)"""
+        key = self._cache_key("newton", options)
+        cached = self._solver_cache.get(key)
+        if cached is None:
+            f_raw = comp["f"]
+            g_fn = jax.grad(f_raw, argnums=0)
+            H_f_fn = jax.hessian(f_raw, argnums=0)
+            g0 = np.asarray(g_fn(jnp.asarray(x0), jnp.asarray(params)))
+            scaling = ProblemScaling.for_newton(g0)
+            d_f = scaling.f
+            sc = ScalingArrays(
+                f=jnp.asarray(d_f), c_e=jnp.zeros(0), c_i=jnp.zeros(0)
+            )
+            funcs = NewtonFunctions(
+                num_decision_variables=comp["n"],
+                f=lambda x, p: d_f * f_raw(x, p),
+                g=lambda x, p: d_f * g_fn(x, p),
+                H=lambda x, p: d_f * H_f_fn(x, p),
+                scaling=sc,
+            )
+            init, step = make_newton(funcs, options)
+            cached = (init, step)
+            self._solver_cache[key] = cached
+        init, step = cached
+        state = init(x0, params)
+        state = run_solver(
+            state,
+            step,
+            options,
+            callbacks=self._callbacks,
+            info_fn=self._newton_info,
+            start_time=start_time,
+        )
+        self._last_state = state
+        return ExitStatus(int(state.status)), np.asarray(state.x)
+
+    @staticmethod
+    def _newton_info(state) -> IterationInfo:
+        empty = np.zeros(0)
+        return IterationInfo(
+            iteration=int(state.iterations),
+            x=np.asarray(state.x),
+            s=empty,
+            y=empty,
+            z=empty,
+            g=np.asarray(state.g),
+            H=np.asarray(state.H),
+            A_e=np.zeros((0, state.x.shape[0])),
+            A_i=np.zeros((0, state.x.shape[0])),
+        )
+
+    def _solve_sqp(self, comp, x0, params, options, start_time):
+        """(reference problem.hpp:403-511)"""
+        key = self._cache_key("sqp", options)
+        cached = self._solver_cache.get(key)
+        xj, pj = jnp.asarray(x0), jnp.asarray(params)
+        if cached is None:
+            f_raw, ce_raw = comp["f"], comp["c_e"]
+            g_fn, H_f_fn, A_e_fn, _A_i_fn, H_c_fn = self._derivatives(comp)
+            g0 = np.asarray(g_fn(xj, pj))
+            A_e0 = np.asarray(A_e_fn(xj, pj))
+            scaling = ProblemScaling.for_sqp(g0, A_e0)
+            d_f = scaling.f
+            dce = jnp.asarray(scaling.c_e)
+            sc = ScalingArrays(f=jnp.asarray(d_f), c_e=dce, c_i=jnp.zeros(0))
+            zeros0 = jnp.zeros(0)
+
+            funcs = SQPFunctions(
+                num_decision_variables=comp["n"],
+                num_equality_constraints=comp["me"],
+                f=lambda x, p: d_f * f_raw(x, p),
+                g=lambda x, p: d_f * g_fn(x, p),
+                H=lambda x, y, p: d_f * H_f_fn(x, p)
+                + H_c_fn(x, dce * y, zeros0, p),
+                H_c=lambda x, y, p: H_c_fn(x, dce * y, zeros0, p),
+                c_e=lambda x, p: dce * ce_raw(x, p),
+                A_e=lambda x, p: dce[:, None] * A_e_fn(x, p),
+                scaling=sc,
+            )
+            init, step, resume = make_sqp(funcs, options)
+            cached = (init, step, resume, funcs)
+            self._solver_cache[key] = cached
+        init, step, resume, funcs = cached
+
+        def restoration_handler(state, st_time):
+            # Wrap the SQP callbacks as a zero-inequality IPM parent
+            # (reference sqp.hpp:118-325 SQP-entry restoration).
+            parent = _sqp_as_ipm_parent(funcs, comp["n"], comp["me"])
+            shim = _ShimState(
+                x=state.x,
+                s=jnp.zeros(0),
+                c_e=state.c_e,
+                c_i=jnp.zeros(0),
+                mu=0.0,
+                alpha=state.alpha,
+                iterations=state.iterations,
+                filt=state.filt,
+                g=state.g,
+                f=state.f,
+                params=state.params,
+            )
+            outcome, x_n, _s_n, y_n, _z_n, iters = restore(
+                parent,
+                shim,
+                options,
+                base_mu=options.tolerance / 10.0,
+                start_time=st_time,
+            )
+            if outcome == "resume":
+                return resume(state, x_n, y_n, iters)
+            return state._replace(
+                status=np.int32(int(outcome)), x=jnp.asarray(x_n)
+            )
+
+        state = init(x0, pj)
+        state = run_solver(
+            state,
+            step,
+            options,
+            callbacks=self._callbacks,
+            info_fn=self._sqp_info,
+            restoration_handler=restoration_handler,
+            start_time=start_time,
+        )
+        self._last_state = state
+        return ExitStatus(int(state.status)), np.asarray(state.x)
+
+    @staticmethod
+    def _sqp_info(state) -> IterationInfo:
+        empty = np.zeros(0)
+        return IterationInfo(
+            iteration=int(state.iterations),
+            x=np.asarray(state.x),
+            s=empty,
+            y=np.asarray(state.y),
+            z=empty,
+            g=np.asarray(state.g),
+            H=np.asarray(state.H),
+            A_e=np.asarray(state.A_e),
+            A_i=np.zeros((0, state.x.shape[0])),
+        )
+
+    def _solve_ipm(self, comp, x0, params, options, start_time):
+        """(reference problem.hpp:512-669)"""
+        xj, pj = jnp.asarray(x0), jnp.asarray(params)
+        key = self._cache_key("ipm", options)
+        cached = self._solver_cache.get(key)
+        if cached is None:
+            f_raw, ce_raw, ci_raw = comp["f"], comp["c_e"], comp["c_i"]
+            g_fn, H_f_fn, A_e_fn, A_i_fn, H_c_fn = self._derivatives(comp)
+            A_i_unscaled_fn = A_i_fn
+            g0 = np.asarray(g_fn(xj, pj))
+            A_e0 = np.asarray(A_e_fn(xj, pj))
+            A_i0 = np.asarray(A_i_fn(xj, pj))
+            scaling = ProblemScaling.for_ipm(g0, A_e0, A_i0)
+            d_f = scaling.f
+            dce = jnp.asarray(scaling.c_e)
+            dci = jnp.asarray(scaling.c_i)
+            sc = ScalingArrays(f=jnp.asarray(d_f), c_e=dce, c_i=dci)
+
+            funcs = IPMFunctions(
+                num_decision_variables=comp["n"],
+                num_equality_constraints=comp["me"],
+                num_inequality_constraints=comp["mi"],
+                f=lambda x, p: d_f * f_raw(x, p),
+                g=lambda x, p: d_f * g_fn(x, p),
+                H=lambda x, y, z, p: d_f * H_f_fn(x, p)
+                + H_c_fn(x, dce * y, dci * z, p),
+                H_c=lambda x, y, z, p: H_c_fn(x, dce * y, dci * z, p),
+                c_e=lambda x, p: dce * ce_raw(x, p),
+                A_e=lambda x, p: dce[:, None] * A_e_fn(x, p),
+                c_i=lambda x, p: dci * ci_raw(x, p),
+                A_i=lambda x, p: dci[:, None] * A_i_fn(x, p),
+                scaling=sc,
+            )
+            init, step, resume = make_interior_point(funcs, options)
+            cached = (init, step, resume, funcs, A_i_unscaled_fn, ci_raw)
+            self._solver_cache[key] = cached
+        init, step, resume, funcs, A_i_unscaled_fn, ci_raw = cached
+
+        # Bound detection and conflict check (reference problem.hpp:597-610)
+        c_i0 = np.asarray(ci_raw(xj, pj))
+        A_i0 = np.asarray(A_i_unscaled_fn(xj, pj))
+        bounds = get_bounds(x0, c_i0, A_i0, comp["ineq_row_linear"])
+        if bounds.conflicting_bound_indices:
+            return ExitStatus.GLOBALLY_INFEASIBLE, x0
+        if self.enable_bound_projection:
+            x0 = project_onto_bounds(x0, bounds.lower, bounds.upper)
+
+        # Default starting point (reference interior_point.hpp:74-87)
+        s0 = np.ones(comp["mi"])
+        if self.enable_bound_projection:
+            # sʲ = cᵢʲ(x₀) for bound rows (reference interior_point.hpp:288-291)
+            c_i_start = np.asarray(ci_raw(jnp.asarray(x0), pj))
+            mask = bounds.bound_constraint_mask
+            s0[mask] = (np.asarray(funcs.scaling.c_i) * c_i_start)[mask]
+        y0 = np.zeros(comp["me"])
+        z0 = np.ones(comp["mi"])
+        mu0 = 0.1 * float(np.asarray(funcs.scaling.f))
+
+        def restoration_handler(state, st_time):
+            outcome, x_n, s_n, y_n, z_n, iters = restore(
+                funcs, state, options, start_time=st_time
+            )
+            if outcome == "resume":
+                return resume(state, x_n, s_n, y_n, z_n, iters)
+            return state._replace(
+                status=np.int32(int(outcome)),
+                x=jnp.asarray(x_n),
+                s=jnp.asarray(s_n),
+            )
+
+        state = init(x0, s0, y0, z0, mu0, 0, pj)
+        state = run_solver(
+            state,
+            step,
+            options,
+            callbacks=self._callbacks,
+            info_fn=self._ipm_info,
+            restoration_handler=restoration_handler,
+            start_time=start_time,
+        )
+        self._last_state = state
+        return ExitStatus(int(state.status)), np.asarray(state.x)
+
+    @staticmethod
+    def _ipm_info(state) -> IterationInfo:
+        return IterationInfo(
+            iteration=int(state.iterations),
+            x=np.asarray(state.x),
+            s=np.asarray(state.s),
+            y=np.asarray(state.y),
+            z=np.asarray(state.z),
+            g=np.asarray(state.g),
+            H=np.asarray(state.H),
+            A_e=np.asarray(state.A_e),
+            A_i=np.asarray(state.A_i),
+        )
+
+
+class _ShimState:
+    """Duck-typed parent state for SQP-entry feasibility restoration."""
+
+    def __init__(self, **kw) -> None:
+        self.__dict__.update(kw)
+
+
+def _sqp_as_ipm_parent(funcs: SQPFunctions, n: int, me: int) -> IPMFunctions:
+    return IPMFunctions(
+        num_decision_variables=n,
+        num_equality_constraints=me,
+        num_inequality_constraints=0,
+        f=funcs.f,
+        g=funcs.g,
+        H=lambda x, y, z, p: funcs.H(x, y, p),
+        H_c=lambda x, y, z, p: funcs.H_c(x, y, p),
+        c_e=funcs.c_e,
+        A_e=funcs.A_e,
+        c_i=lambda x, p: jnp.zeros(0),
+        A_i=lambda x, p: jnp.zeros((0, n)),
+        scaling=ScalingArrays(
+            f=funcs.scaling.f, c_e=funcs.scaling.c_e, c_i=jnp.zeros(0)
+        ),
+    )
+
+
+def _as_scalar_expr(cost) -> Expr:
+    if isinstance(cost, Variable):
+        return cost.expr
+    if isinstance(cost, VariableMatrix):
+        assert cost.shape == (1, 1), "cost must be scalar"
+        return ex.reshape(cost.expr, ())
+    if isinstance(cost, (int, float, np.integer, np.floating)):
+        return ConstExpr(float(cost))
+    from sleipnir_tpu.autodiff.variable import VariableBlock  # noqa: PLC0415
+
+    if isinstance(cost, VariableBlock):
+        return _as_scalar_expr(cost._as_matrix())
+    raise TypeError(f"cannot use {type(cost)} as cost function")

@@ -1,0 +1,93 @@
+"""Matrix-callback structures: the decoupling seam between problem
+compilation and the solvers (reference
+solver/interior_point_matrix_callbacks.hpp:18, sqp_matrix_callbacks.hpp,
+newton_matrix_callbacks.hpp).
+
+All callables are pure JAX-traceable functions of dense arrays, pre-scaled
+by the problem scaling (like the closures built in reference
+problem.hpp:618-660). Solvers never see the expression DAG.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+
+
+class ScalingArrays(NamedTuple):
+    """Problem scaling as device arrays for in-jit unscaling."""
+
+    f: jnp.ndarray  # scalar
+    c_e: jnp.ndarray  # (me,)
+    c_i: jnp.ndarray  # (mi,)
+
+
+class _Bound:
+    """Callback struct with a runtime `params` vector bound as the last
+    argument of every callable.
+
+    Non-decision variables referenced by the problem enter the compiled
+    functions as runtime parameters (not trace-time constants) so that
+    Sleipnir's set_value-then-re-solve workflow (reference docs/usage.md
+    "Suppressing constant pruning") doesn't retrace/recompile.
+    """
+
+    def __init__(self, funcs, params) -> None:
+        for name in funcs._fields:
+            value = getattr(funcs, name)
+            if callable(value):
+                value = _bind_one(value, params)
+            setattr(self, name, value)
+
+
+def _bind_one(fn, params):
+    return lambda *args: fn(*args, params)
+
+
+def bind(funcs, params) -> _Bound:
+    """Bind a params vector into a callback struct."""
+    return _Bound(funcs, params)
+
+
+class NewtonFunctions(NamedTuple):
+    """Callbacks for the Newton solver (reference
+    newton_matrix_callbacks.hpp)."""
+
+    num_decision_variables: int
+    f: Callable  # f(x) -> scalar
+    g: Callable  # g(x) -> (n,)
+    H: Callable  # H(x) -> (n, n)
+    scaling: ScalingArrays
+
+
+class SQPFunctions(NamedTuple):
+    """Callbacks for the SQP solver (reference sqp_matrix_callbacks.hpp)."""
+
+    num_decision_variables: int
+    num_equality_constraints: int
+    f: Callable  # f(x) -> scalar
+    g: Callable  # g(x) -> (n,)
+    H: Callable  # H(x, y) -> (n, n)   full Lagrangian Hessian
+    H_c: Callable  # H_c(x, y) -> (n, n)  constraint part only
+    c_e: Callable  # c_e(x) -> (me,)
+    A_e: Callable  # A_e(x) -> (me, n)
+    scaling: ScalingArrays
+
+
+class IPMFunctions(NamedTuple):
+    """Callbacks for the interior-point solver (reference
+    interior_point_matrix_callbacks.hpp:18)."""
+
+    num_decision_variables: int
+    num_equality_constraints: int
+    num_inequality_constraints: int
+    f: Callable  # f(x) -> scalar
+    g: Callable  # g(x) -> (n,)
+    H: Callable  # H(x, y, z) -> (n, n)  full Lagrangian Hessian
+    H_c: Callable  # H_c(x, y, z) -> (n, n)  constraint part only
+    c_e: Callable  # c_e(x) -> (me,)
+    A_e: Callable  # A_e(x) -> (me, n)
+    c_i: Callable  # c_i(x) -> (mi,)
+    A_i: Callable  # A_i(x) -> (mi, n)
+    scaling: ScalingArrays

@@ -1,0 +1,124 @@
+"""Solver loop driver: runs a jitted step function to completion.
+
+Two execution modes over the same compiled step:
+  - fast path (no callbacks/diagnostics): `lax.while_loop` chunks entirely on
+    device — the TPU-native replacement for the reference's serial C++ loop
+    (reference interior_point.hpp:382-863),
+  - observed path: one jitted step per Python iteration, extracting
+    IterationInfo for user callbacks / diagnostics / spy recording, matching
+    the reference's per-iteration callback semantics
+    (reference interior_point.hpp:413-417).
+
+Feasibility restoration changes the problem shape, so the device loop
+signals it via a status sentinel and the host runs the restoration solve
+(see util/feasibility_restoration.py) before resuming.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence
+
+import jax
+import numpy as np
+from jax import lax
+
+from sleipnir_tpu.optimization.solver import status_codes
+from sleipnir_tpu.optimization.solver.exit_status import ExitStatus
+from sleipnir_tpu.optimization.solver.options import Options
+
+#: Iterations per device round-trip in the fast path.
+DEFAULT_CHUNK = 256
+
+
+def run_solver(
+    state,
+    step: Callable,
+    options: Options,
+    callbacks: Sequence[Callable] = (),
+    info_fn: Callable | None = None,
+    restoration_handler: Callable | None = None,
+    diagnostics_fn: Callable | None = None,
+    start_time: float | None = None,
+):
+    """Drive `step` until the state's status leaves RUNNING.
+
+    Returns the final state (with a terminal ExitStatus in .status).
+    """
+    if start_time is None:
+        start_time = time.monotonic()
+
+    observed = bool(callbacks) or options.diagnostics
+    step_jit = jax.jit(step) if observed else None
+    chunk = 1 if observed else (
+        32 if np.isfinite(options.timeout) else DEFAULT_CHUNK
+    )
+
+    runner = None
+    if not observed:
+        def _run_chunk(st, cap):
+            return lax.while_loop(
+                lambda s: (s.status == status_codes.RUNNING)
+                & (s.iterations < cap),
+                step,
+                st,
+            )
+
+        runner = jax.jit(_run_chunk)
+
+    while True:
+        status = int(state.status)
+        if status == status_codes.RUNNING:
+            if int(state.iterations) >= options.max_iterations:
+                state = state._replace(
+                    status=np.int32(int(ExitStatus.MAX_ITERATIONS_EXCEEDED))
+                )
+                break
+            if time.monotonic() - start_time > options.timeout:
+                state = state._replace(
+                    status=np.int32(int(ExitStatus.TIMEOUT))
+                )
+                break
+            if observed:
+                stop = False
+                if callbacks and info_fn is not None:
+                    info = info_fn(state)
+                    for cb in callbacks:
+                        if cb(info):
+                            stop = True
+                if stop:
+                    state = state._replace(
+                        status=np.int32(int(ExitStatus.CALLBACK_REQUESTED_STOP))
+                    )
+                    break
+                prev_state = state
+                state = step_jit(state)
+                if options.diagnostics and diagnostics_fn is not None:
+                    diagnostics_fn(prev_state, state)
+            else:
+                cap = min(
+                    int(state.iterations) + chunk, options.max_iterations
+                )
+                state = runner(state, np.int32(cap))
+        elif status == status_codes.FEASIBILITY_RESTORATION_REQUESTED:
+            if restoration_handler is None:
+                state = state._replace(
+                    status=np.int32(
+                        int(ExitStatus.FEASIBILITY_RESTORATION_FAILED)
+                    )
+                )
+                break
+            state = restoration_handler(state, start_time)
+            if (
+                int(state.status)
+                == status_codes.FEASIBILITY_RESTORATION_REQUESTED
+            ):
+                state = state._replace(
+                    status=np.int32(
+                        int(ExitStatus.FEASIBILITY_RESTORATION_FAILED)
+                    )
+                )
+                break
+        else:
+            break
+    return state

@@ -1,0 +1,301 @@
+"""Feasibility restoration: minimize constraint violation near the current
+iterate when the line search fails.
+
+Behavioral port of reference solver/util/feasibility_restoration.hpp:
+solves
+
+      min  ρ Σ (pₑ + nₑ + pᵢ + nᵢ) + ζ/2 (x − xᵣ)ᵀDᵣ(x − xᵣ)
+  s.t. cₑ(x) − pₑ + nₑ = 0
+       cᵢ(x) − pᵢ + nᵢ ≥ 0,  pₑ, nₑ, pᵢ, nᵢ ≥ 0
+
+with ρ = 1e3, ζ = √μ_fr, Dᵣ = diag(min(1, 1/xᵣᵢ²)), via a second
+interior-point instance on the augmented (n + 2mₑ + 2mᵢ)-variable problem
+(reference :359-607). Because the subproblem has a different static shape,
+the parent's jitted loop signals the host driver, which calls into here
+(SURVEY.md §7 "hard parts").
+
+An early-stop check replicates the reference's extra iteration callback
+(reference interior_point.hpp:738-756): restoration stops as soon as the
+parent filter would accept the candidate iterate with sufficiently reduced
+constraint violation; the parent then resumes with least-squares multiplier
+estimates (reference solver/util/lagrange_multiplier_estimate.hpp:57-135).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from sleipnir_tpu.optimization.solver.exit_status import ExitStatus
+from sleipnir_tpu.optimization.solver.funcs import IPMFunctions, ScalingArrays
+from sleipnir_tpu.optimization.solver.interior_point import (
+    make_interior_point,
+)
+from sleipnir_tpu.optimization.solver.options import Options
+from sleipnir_tpu.optimization.solver.solve_driver import run_solver
+from sleipnir_tpu.optimization.solver.util.filter import try_add
+
+RHO = 1e3  # reference feasibility_restoration.hpp:391
+KAPPA_SIGMA = 1e10
+
+
+def compute_p_n(c: np.ndarray, rho: float, mu: float):
+    """Initialize relaxation slacks p, n via Ipopt eq (33)
+    (reference feasibility_restoration.hpp:52-100)."""
+    b = rho * c - mu
+    n = (-b + np.sqrt(b * b + 2.0 * rho * mu * c)) / (2.0 * rho)
+    p = c + n
+    return p, n
+
+
+def restore(
+    parent: IPMFunctions,
+    parent_state,
+    options: Options,
+    *,
+    base_mu: float | None = None,
+    start_time: float | None = None,
+):
+    """Run feasibility restoration for an IPM (or SQP via mi=0) parent.
+
+    Returns (outcome, x, s, y, z, iterations) where outcome is one of
+    "resume" (parent continues), or a terminal ExitStatus.
+    """
+    n = parent.num_decision_variables
+    me = parent.num_equality_constraints
+    mi = parent.num_inequality_constraints
+
+    x_r = np.asarray(parent_state.x, dtype=np.float64)
+    s_r = np.asarray(parent_state.s, dtype=np.float64)
+    c_e0 = np.asarray(parent_state.c_e, dtype=np.float64)
+    c_i0 = np.asarray(parent_state.c_i, dtype=np.float64)
+    mu = float(base_mu) if base_mu is not None else float(parent_state.mu)
+    alpha = float(parent_state.alpha)
+    iterations0 = int(parent_state.iterations)
+
+    def inf_norm(v):
+        return float(np.max(np.abs(v))) if v.shape[0] else 0.0
+
+    # fr_μ = max(μ, ‖cₑ‖_∞, ‖cᵢ − s‖_∞) (reference :396-397)
+    fr_mu = max(mu, inf_norm(c_e0), inf_norm(c_i0 - s_r))
+    zeta = math.sqrt(fr_mu)
+
+    p_e0, n_e0 = compute_p_n(c_e0, RHO, fr_mu)
+    p_i0, n_i0 = compute_p_n(c_i0 - s_r, RHO, fr_mu)
+
+    with np.errstate(divide="ignore"):
+        D_r = np.minimum(1.0, 1.0 / np.square(x_r))
+
+    n_extra = 2 * me + 2 * mi
+    N = n + n_extra
+    MI = mi + n_extra
+
+    fr_x0 = np.concatenate([x_r, p_e0, n_e0, p_i0, n_i0])
+    fr_s0 = np.concatenate([s_r, np.ones(n_extra)])
+    fr_y0 = np.zeros(me)
+    with np.errstate(divide="ignore"):
+        fr_z0 = np.concatenate(
+            [
+                fr_mu / s_r,
+                fr_mu / p_e0,
+                fr_mu / n_e0,
+                fr_mu / p_i0,
+                fr_mu / n_i0,
+            ]
+        )
+
+    # Inherit parent's constraint scaling; cost unscaled; new rows unscaled
+    # (reference :423-430).
+    parent_sc = parent.scaling
+    fr_scaling = ScalingArrays(
+        f=jnp.asarray(1.0),
+        c_e=jnp.asarray(parent_sc.c_e),
+        c_i=jnp.concatenate(
+            [jnp.asarray(parent_sc.c_i), jnp.ones(n_extra)]
+        ),
+    )
+
+    D_r_j = jnp.asarray(D_r)
+    x_r_j = jnp.asarray(x_r)
+
+    def fr_f(xp, params):
+        xx = xp[:n]
+        diff = xx - x_r_j
+        return RHO * jnp.sum(xp[n:]) + 0.5 * zeta * diff @ (D_r_j * diff)
+
+    def fr_g(xp, params):
+        xx = xp[:n]
+        return jnp.concatenate(
+            [zeta * D_r_j * (xx - x_r_j), jnp.full((n_extra,), RHO)]
+        )
+
+    def fr_H(xp, yp, zp, params):
+        out = jnp.zeros((N, N))
+        out = out.at[:n, :n].set(
+            jnp.diag(zeta * D_r_j) + parent.H_c(xp[:n], yp, zp[:mi], params)
+        )
+        return out
+
+    def fr_H_c(xp, yp, zp, params):
+        return jnp.zeros((N, N))
+
+    def fr_c_e(xp, params):
+        p_e = xp[n : n + me]
+        n_e = xp[n + me : n + 2 * me]
+        return parent.c_e(xp[:n], params) - p_e + n_e
+
+    def fr_A_e(xp, params):
+        out = jnp.zeros((me, N))
+        out = out.at[:, :n].set(parent.A_e(xp[:n], params))
+        if me > 0:
+            eye = jnp.eye(me)
+            out = out.at[:, n : n + me].set(-eye)
+            out = out.at[:, n + me : n + 2 * me].set(eye)
+        return out
+
+    def fr_c_i(xp, params):
+        p_i = xp[n + 2 * me : n + 2 * me + mi]
+        n_i = xp[n + 2 * me + mi :]
+        top = parent.c_i(xp[:n], params) - p_i + n_i
+        return jnp.concatenate([top, xp[n:]])
+
+    def fr_A_i(xp, params):
+        out = jnp.zeros((MI, N))
+        out = out.at[:mi, :n].set(parent.A_i(xp[:n], params))
+        if mi > 0:
+            eye = jnp.eye(mi)
+            out = out.at[:mi, n + 2 * me : n + 2 * me + mi].set(-eye)
+            out = out.at[:mi, n + 2 * me + mi :].set(eye)
+        out = out.at[mi:, n:].set(jnp.eye(n_extra))
+        return out
+
+    fr_funcs = IPMFunctions(
+        num_decision_variables=N,
+        num_equality_constraints=me,
+        num_inequality_constraints=MI,
+        f=fr_f,
+        g=fr_g,
+        H=fr_H,
+        H_c=fr_H_c,
+        c_e=fr_c_e,
+        A_e=fr_A_e,
+        c_i=fr_c_i,
+        A_i=fr_A_i,
+        scaling=fr_scaling,
+    )
+
+    # Early-stop check: parent filter accepts the candidate with a 10x
+    # violation reduction (reference interior_point.hpp:738-756).
+    parent_filter = parent_state.filt
+    parent_g = jnp.asarray(parent_state.g)
+    s_r_j = jnp.asarray(s_r)
+    init_cost = parent_state.f - mu * jnp.sum(jnp.log(jnp.asarray(s_r)))
+    init_viol = float(
+        np.sum(np.abs(c_e0)) + np.sum(np.abs(c_i0 - s_r))
+    )
+
+    def stop_check(rst):
+        tx = rst.x[:n]
+        ts = rst.s[:mi]
+        tf = parent.f(tx, rst.params)
+        tce = parent.c_e(tx, rst.params)
+        tci = parent.c_i(tx, rst.params)
+        trial_cost = tf - mu * jnp.sum(jnp.log(ts))
+        trial_viol = jnp.sum(jnp.abs(tce)) + jnp.sum(jnp.abs(tci - ts))
+        D_phi_r = parent_g @ (tx - x_r_j) - mu * jnp.sum(
+            (ts - s_r_j) / s_r_j
+        )
+        acc, _ = try_add(
+            parent_filter,
+            init_cost,
+            init_viol,
+            trial_cost,
+            trial_viol,
+            D_phi_r,
+            alpha,
+        )
+        return (trial_viol < 0.9 * init_viol) & acc
+
+    fr_init, fr_step, _ = make_interior_point(
+        fr_funcs,
+        options,
+        in_feasibility_restoration=True,
+        stop_check=stop_check,
+    )
+
+    state = fr_init(
+        fr_x0, fr_s0, fr_y0, fr_z0, fr_mu, iterations0, parent_state.params
+    )
+    state = run_solver(
+        state, fr_step, options, start_time=start_time
+    )
+
+    status = ExitStatus(int(state.status))
+    x_new = np.asarray(state.x[:n])
+    s_new = np.asarray(state.s[:mi])
+    iterations_out = int(state.iterations)
+
+    if status == ExitStatus.CALLBACK_REQUESTED_STOP:
+        # Parent filter accepted: estimate duals and resume
+        # (reference :612-622).
+        pj = parent_state.params
+        g_new = np.asarray(parent.g(jnp.asarray(x_new), pj))
+        A_e_new = np.asarray(parent.A_e(jnp.asarray(x_new), pj))
+        A_i_new = np.asarray(parent.A_i(jnp.asarray(x_new), pj))
+        y_est, z_est = lagrange_multiplier_estimate(
+            g_new, A_e_new, A_i_new, s_new, mu
+        )
+        return "resume", x_new, s_new, y_est, z_est, iterations_out
+    if status == ExitStatus.SUCCESS:
+        # Restoration converged, so the original problem is locally
+        # infeasible (reference :623-624).
+        return (
+            ExitStatus.LOCALLY_INFEASIBLE,
+            x_new,
+            s_new,
+            None,
+            None,
+            iterations_out,
+        )
+    return (
+        ExitStatus.FEASIBILITY_RESTORATION_FAILED,
+        x_new,
+        s_new,
+        None,
+        None,
+        iterations_out,
+    )
+
+
+def lagrange_multiplier_estimate(
+    g: np.ndarray,
+    A_e: np.ndarray,
+    A_i: np.ndarray,
+    s: np.ndarray,
+    mu: float,
+):
+    """Least-squares dual estimate [y; z] = (ÂÂᵀ)⁻¹Â[∇f; −μe] with
+    Â = [Aₑ 0; Aᵢ −S], z clamped to the κ_Σ band
+    (reference solver/util/lagrange_multiplier_estimate.hpp:57-135)."""
+    me = A_e.shape[0]
+    mi = A_i.shape[0]
+    n = g.shape[0]
+    A_hat = np.zeros((me + mi, n + mi))
+    A_hat[:me, :n] = A_e
+    A_hat[me:, :n] = A_i
+    if mi > 0:
+        A_hat[me:, n:] = -np.diag(s)
+    rhs_temp = np.concatenate([g, -mu * np.ones(mi)])
+    lhs = A_hat @ A_hat.T
+    rhs = A_hat @ rhs_temp
+    try:
+        sol = np.linalg.solve(lhs, rhs)
+    except np.linalg.LinAlgError:
+        sol = np.linalg.lstsq(lhs, rhs, rcond=None)[0]
+    y = sol[:me]
+    z = sol[me:]
+    if mi > 0:
+        z = np.clip(z, mu / (KAPPA_SIGMA * s), KAPPA_SIGMA * mu / s)
+    return y, z

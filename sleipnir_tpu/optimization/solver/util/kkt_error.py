@@ -1,0 +1,125 @@
+"""KKT error measures (reference solver/util/kkt_error.hpp:30-251).
+
+Scaled ∞-norm errors follow equation (5) of Wächter-Biegler (s_d, s_c
+normalizers with s_max = 100); 1-norm variants are used by the line search's
+accept-if-KKT-error-reduced fallback.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+S_MAX = 100.0
+
+
+def _inf_norm(v):
+    return jnp.max(jnp.abs(v)) if v.shape[0] > 0 else jnp.asarray(0.0, v.dtype)
+
+
+def _one_norm(v):
+    return jnp.sum(jnp.abs(v)) if v.shape[0] > 0 else jnp.asarray(0.0, v.dtype)
+
+
+# -- Newton ---------------------------------------------------------------
+
+
+def kkt_error_newton_inf(g):
+    return _inf_norm(g)
+
+
+def kkt_error_newton_one(g):
+    return _one_norm(g)
+
+
+# -- SQP ------------------------------------------------------------------
+
+
+def kkt_error_sqp_inf(g, A_e, c_e, y):
+    if c_e.shape[0] == 0:
+        return _inf_norm(g)
+    s_d = jnp.maximum(S_MAX, _one_norm(y) / c_e.shape[0]) / S_MAX
+    return jnp.maximum(_inf_norm(g - A_e.T @ y) / s_d, _inf_norm(c_e))
+
+
+def kkt_error_sqp_one(g, A_e, c_e, y):
+    if c_e.shape[0] == 0:
+        return _one_norm(g)
+    return _one_norm(g - A_e.T @ y) + _one_norm(c_e)
+
+
+# -- Interior-point -------------------------------------------------------
+
+
+def kkt_error_ipm_inf(g, A_e, c_e, A_i, c_i, s, y, z, mu):
+    m = c_e.shape[0] + c_i.shape[0]
+    s_d = jnp.maximum(S_MAX, (_one_norm(y) + _one_norm(z)) / max(m, 1)) / S_MAX
+    s_c = jnp.maximum(S_MAX, _one_norm(z) / max(c_i.shape[0], 1)) / S_MAX
+
+    grad = g
+    if c_e.shape[0] > 0:
+        grad = grad - A_e.T @ y
+    if c_i.shape[0] > 0:
+        grad = grad - A_i.T @ z
+
+    terms = [_inf_norm(grad) / s_d]
+    if c_i.shape[0] > 0:
+        terms.append(_inf_norm(s * z - mu) / s_c)
+    if c_e.shape[0] > 0:
+        terms.append(_inf_norm(c_e))
+    if c_i.shape[0] > 0:
+        terms.append(_inf_norm(c_i - s))
+    return jnp.max(jnp.stack(terms))
+
+
+def kkt_error_ipm_one(g, A_e, c_e, A_i, c_i, s, y, z, mu):
+    grad = g
+    if c_e.shape[0] > 0:
+        grad = grad - A_e.T @ y
+    if c_i.shape[0] > 0:
+        grad = grad - A_i.T @ z
+    total = _one_norm(grad)
+    if c_i.shape[0] > 0:
+        total = total + _one_norm(s * z - mu)
+    if c_e.shape[0] > 0:
+        total = total + _one_norm(c_e)
+    if c_i.shape[0] > 0:
+        total = total + _one_norm(c_i - s)
+    return total
+
+
+# -- Unscaled variants (un-apply problem scaling before measuring:
+#    reference kkt_error.hpp:155-251) --------------------------------------
+
+
+def unscaled_kkt_error_newton(scaling, g):
+    return kkt_error_newton_inf(g / scaling.f)
+
+
+def unscaled_kkt_error_sqp(scaling, g, A_e, c_e, y):
+    if c_e.shape[0] == 0:
+        return unscaled_kkt_error_newton(scaling, g)
+    inv_d_f = 1.0 / scaling.f
+    inv_d_c_e = 1.0 / scaling.c_e
+    return kkt_error_sqp_inf(
+        inv_d_f * g,
+        inv_d_c_e[:, None] * A_e,
+        inv_d_c_e * c_e,
+        scaling.c_e * y * inv_d_f,
+    )
+
+
+def unscaled_kkt_error_ipm(scaling, g, A_e, c_e, A_i, c_i, s, y, z, mu):
+    inv_d_f = 1.0 / scaling.f
+    inv_d_c_e = 1.0 / scaling.c_e
+    inv_d_c_i = 1.0 / scaling.c_i
+    return kkt_error_ipm_inf(
+        inv_d_f * g,
+        inv_d_c_e[:, None] * A_e if c_e.shape[0] > 0 else A_e,
+        inv_d_c_e * c_e,
+        inv_d_c_i[:, None] * A_i if c_i.shape[0] > 0 else A_i,
+        inv_d_c_i * c_i,
+        inv_d_c_i * s,
+        scaling.c_e * y * inv_d_f,
+        scaling.c_i * z * inv_d_f,
+        inv_d_f * mu,
+    )
