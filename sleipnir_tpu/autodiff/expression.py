@@ -445,6 +445,12 @@ def expm(a: Expr) -> Expr:
     return make_op("expm", (a,), shape=a.shape, lin=nonlinear_type(a.lin))
 
 
+def sum_all(a: Expr) -> Expr:
+    """Sum of all elements — one reduction node (TPU-native extension; the
+    reference builds Σ via O(n) binary adds in user loops)."""
+    return make_op("sum", (a,), shape=(), lin=a.lin)
+
+
 # ---------------------------------------------------------------------------
 # Evaluation and compilation
 # ---------------------------------------------------------------------------

@@ -491,6 +491,11 @@ class VariableMatrix:
 
     # -- misc -------------------------------------------------------------
 
+    def sum(self) -> Variable:
+        """Sum of all elements as a single reduction node (TPU-native
+        extension; reference users write Σ loops, which also work here)."""
+        return Variable(ex.sum_all(self._expr))
+
     def cwise_transform(self, func) -> "VariableMatrix":
         """Elementwise transform (reference variable_matrix.hpp cwise_transform)."""
         out = VariableMatrix(np.zeros(self.shape))

@@ -286,6 +286,7 @@ def make_interior_point(
     def resume(st: IPMState, x1, s1, y1, z1, iterations) -> IPMState:
         """Resume the solve after host-side feasibility restoration updated
         the iterates (reference :769-771 then :808-862)."""
+        F = bind(funcs, st.params)
         x1 = jnp.asarray(x1, dtype)
         s1 = jnp.asarray(s1, dtype)
         y1 = jnp.asarray(y1, dtype)
