@@ -46,7 +46,10 @@ from sleipnir_tpu.optimization.solver.interior_point import (
 from sleipnir_tpu.optimization.solver.iteration_info import IterationInfo
 from sleipnir_tpu.optimization.solver.newton import make_newton
 from sleipnir_tpu.optimization.solver.options import Options
-from sleipnir_tpu.optimization.solver.solve_driver import run_solver
+from sleipnir_tpu.optimization.solver.solve_driver import (
+    make_runner,
+    run_solver,
+)
 from sleipnir_tpu.optimization.solver.sqp import make_sqp
 from sleipnir_tpu.optimization.solver.util.bounds import (
     get_bounds,
@@ -368,26 +371,25 @@ class Problem:
         cached = self._solver_cache.get(key)
         if cached is None:
             f_raw = comp["f"]
-            g_fn = jax.grad(f_raw, argnums=0)
+            g_fn = jax.jit(jax.grad(f_raw, argnums=0))
             H_f_fn = jax.hessian(f_raw, argnums=0)
-            g0 = np.asarray(g_fn(jnp.asarray(x0), jnp.asarray(params)))
-            scaling = ProblemScaling.for_newton(g0)
-            d_f = scaling.f
-            sc = ScalingArrays(
-                f=jnp.asarray(d_f), c_e=jnp.zeros(0), c_i=jnp.zeros(0)
-            )
             funcs = NewtonFunctions(
                 num_decision_variables=comp["n"],
-                f=lambda x, p: d_f * f_raw(x, p),
-                g=lambda x, p: d_f * g_fn(x, p),
-                H=lambda x, p: d_f * H_f_fn(x, p),
-                scaling=sc,
+                f=lambda x, p, sc: sc.f * f_raw(x, p),
+                g=lambda x, p, sc: sc.f * g_fn(x, p),
+                H=lambda x, p, sc: sc.f * H_f_fn(x, p),
             )
             init, step = make_newton(funcs, options)
-            cached = (init, step)
+            cached = (jax.jit(init), step, make_runner(step), g_fn)
             self._solver_cache[key] = cached
-        init, step = cached
-        state = init(x0, params)
+        init, step, runner, g_fn = cached
+        # Scaling at the starting point (reference problem.hpp:379-382)
+        g0 = np.asarray(g_fn(jnp.asarray(x0), jnp.asarray(params)))
+        scaling = ProblemScaling.for_newton(g0)
+        sc = ScalingArrays(
+            f=jnp.asarray(scaling.f), c_e=jnp.zeros(0), c_i=jnp.zeros(0)
+        )
+        state = init(x0, params, sc)
         state = run_solver(
             state,
             step,
@@ -395,6 +397,7 @@ class Problem:
             callbacks=self._callbacks,
             info_fn=self._newton_info,
             start_time=start_time,
+            runner=runner,
         )
         self._last_state = state
         return ExitStatus(int(state.status)), np.asarray(state.x)
@@ -422,30 +425,40 @@ class Problem:
         if cached is None:
             f_raw, ce_raw = comp["f"], comp["c_e"]
             g_fn, H_f_fn, A_e_fn, _A_i_fn, H_c_fn = self._derivatives(comp)
-            g0 = np.asarray(g_fn(xj, pj))
-            A_e0 = np.asarray(A_e_fn(xj, pj))
-            scaling = ProblemScaling.for_sqp(g0, A_e0)
-            d_f = scaling.f
-            dce = jnp.asarray(scaling.c_e)
-            sc = ScalingArrays(f=jnp.asarray(d_f), c_e=dce, c_i=jnp.zeros(0))
             zeros0 = jnp.zeros(0)
 
             funcs = SQPFunctions(
                 num_decision_variables=comp["n"],
                 num_equality_constraints=comp["me"],
-                f=lambda x, p: d_f * f_raw(x, p),
-                g=lambda x, p: d_f * g_fn(x, p),
-                H=lambda x, y, p: d_f * H_f_fn(x, p)
-                + H_c_fn(x, dce * y, zeros0, p),
-                H_c=lambda x, y, p: H_c_fn(x, dce * y, zeros0, p),
-                c_e=lambda x, p: dce * ce_raw(x, p),
-                A_e=lambda x, p: dce[:, None] * A_e_fn(x, p),
-                scaling=sc,
+                f=lambda x, p, sc: sc.f * f_raw(x, p),
+                g=lambda x, p, sc: sc.f * g_fn(x, p),
+                H=lambda x, y, p, sc: sc.f * H_f_fn(x, p)
+                + H_c_fn(x, sc.c_e * y, zeros0, p),
+                H_c=lambda x, y, p, sc: H_c_fn(x, sc.c_e * y, zeros0, p),
+                c_e=lambda x, p, sc: sc.c_e * ce_raw(x, p),
+                A_e=lambda x, p, sc: sc.c_e[:, None] * A_e_fn(x, p),
             )
             init, step, resume = make_sqp(funcs, options)
-            cached = (init, step, resume, funcs)
+            cached = (
+                jax.jit(init),
+                step,
+                resume,
+                funcs,
+                make_runner(step),
+                jax.jit(g_fn),
+                jax.jit(A_e_fn),
+            )
             self._solver_cache[key] = cached
-        init, step, resume, funcs = cached
+        init, step, resume, funcs, runner, g_fn_j, A_e_fn_j = cached
+        # Scaling at the starting point (reference problem.hpp:473-477)
+        g0 = np.asarray(g_fn_j(xj, pj))
+        A_e0 = np.asarray(A_e_fn_j(xj, pj))
+        scaling = ProblemScaling.for_sqp(g0, A_e0)
+        sc = ScalingArrays(
+            f=jnp.asarray(scaling.f),
+            c_e=jnp.asarray(scaling.c_e),
+            c_i=jnp.zeros(0),
+        )
 
         def restoration_handler(state, st_time):
             # Wrap the SQP callbacks as a zero-inequality IPM parent
@@ -463,6 +476,11 @@ class Problem:
                 g=state.g,
                 f=state.f,
                 params=state.params,
+                scaling=ScalingArrays(
+                    f=state.scaling.f,
+                    c_e=state.scaling.c_e,
+                    c_i=jnp.zeros(0),
+                ),
             )
             outcome, x_n, _s_n, y_n, _z_n, iters = restore(
                 parent,
@@ -477,7 +495,7 @@ class Problem:
                 status=np.int32(int(outcome)), x=jnp.asarray(x_n)
             )
 
-        state = init(x0, pj)
+        state = init(x0, pj, sc)
         state = run_solver(
             state,
             step,
@@ -486,6 +504,7 @@ class Problem:
             info_fn=self._sqp_info,
             restoration_handler=restoration_handler,
             start_time=start_time,
+            runner=runner,
         )
         self._last_state = state
         return ExitStatus(int(state.status)), np.asarray(state.x)
@@ -513,39 +532,59 @@ class Problem:
         if cached is None:
             f_raw, ce_raw, ci_raw = comp["f"], comp["c_e"], comp["c_i"]
             g_fn, H_f_fn, A_e_fn, A_i_fn, H_c_fn = self._derivatives(comp)
-            A_i_unscaled_fn = A_i_fn
-            g0 = np.asarray(g_fn(xj, pj))
-            A_e0 = np.asarray(A_e_fn(xj, pj))
-            A_i0 = np.asarray(A_i_fn(xj, pj))
-            scaling = ProblemScaling.for_ipm(g0, A_e0, A_i0)
-            d_f = scaling.f
-            dce = jnp.asarray(scaling.c_e)
-            dci = jnp.asarray(scaling.c_i)
-            sc = ScalingArrays(f=jnp.asarray(d_f), c_e=dce, c_i=dci)
 
             funcs = IPMFunctions(
                 num_decision_variables=comp["n"],
                 num_equality_constraints=comp["me"],
                 num_inequality_constraints=comp["mi"],
-                f=lambda x, p: d_f * f_raw(x, p),
-                g=lambda x, p: d_f * g_fn(x, p),
-                H=lambda x, y, z, p: d_f * H_f_fn(x, p)
-                + H_c_fn(x, dce * y, dci * z, p),
-                H_c=lambda x, y, z, p: H_c_fn(x, dce * y, dci * z, p),
-                c_e=lambda x, p: dce * ce_raw(x, p),
-                A_e=lambda x, p: dce[:, None] * A_e_fn(x, p),
-                c_i=lambda x, p: dci * ci_raw(x, p),
-                A_i=lambda x, p: dci[:, None] * A_i_fn(x, p),
-                scaling=sc,
+                f=lambda x, p, sc: sc.f * f_raw(x, p),
+                g=lambda x, p, sc: sc.f * g_fn(x, p),
+                H=lambda x, y, z, p, sc: sc.f * H_f_fn(x, p)
+                + H_c_fn(x, sc.c_e * y, sc.c_i * z, p),
+                H_c=lambda x, y, z, p, sc: H_c_fn(x, sc.c_e * y, sc.c_i * z, p),
+                c_e=lambda x, p, sc: sc.c_e * ce_raw(x, p),
+                A_e=lambda x, p, sc: sc.c_e[:, None] * A_e_fn(x, p),
+                c_i=lambda x, p, sc: sc.c_i * ci_raw(x, p),
+                A_i=lambda x, p, sc: sc.c_i[:, None] * A_i_fn(x, p),
             )
             init, step, resume = make_interior_point(funcs, options)
-            cached = (init, step, resume, funcs, A_i_unscaled_fn, ci_raw)
+            cached = (
+                jax.jit(init),
+                step,
+                resume,
+                funcs,
+                make_runner(step),
+                jax.jit(g_fn),
+                jax.jit(A_e_fn),
+                jax.jit(A_i_fn),
+                jax.jit(ci_raw),
+            )
             self._solver_cache[key] = cached
-        init, step, resume, funcs, A_i_unscaled_fn, ci_raw = cached
+        (
+            init,
+            step,
+            resume,
+            funcs,
+            runner,
+            g_fn_j,
+            A_e_fn_j,
+            A_i_fn_j,
+            ci_raw_j,
+        ) = cached
+
+        # Scaling at the starting point (reference problem.hpp:612-616)
+        g0 = np.asarray(g_fn_j(xj, pj))
+        A_e0 = np.asarray(A_e_fn_j(xj, pj))
+        A_i0 = np.asarray(A_i_fn_j(xj, pj))
+        scaling = ProblemScaling.for_ipm(g0, A_e0, A_i0)
+        sc = ScalingArrays(
+            f=jnp.asarray(scaling.f),
+            c_e=jnp.asarray(scaling.c_e),
+            c_i=jnp.asarray(scaling.c_i),
+        )
 
         # Bound detection and conflict check (reference problem.hpp:597-610)
-        c_i0 = np.asarray(ci_raw(xj, pj))
-        A_i0 = np.asarray(A_i_unscaled_fn(xj, pj))
+        c_i0 = np.asarray(ci_raw_j(xj, pj))
         bounds = get_bounds(x0, c_i0, A_i0, comp["ineq_row_linear"])
         if bounds.conflicting_bound_indices:
             return ExitStatus.GLOBALLY_INFEASIBLE, x0
@@ -556,12 +595,12 @@ class Problem:
         s0 = np.ones(comp["mi"])
         if self.enable_bound_projection:
             # sʲ = cᵢʲ(x₀) for bound rows (reference interior_point.hpp:288-291)
-            c_i_start = np.asarray(ci_raw(jnp.asarray(x0), pj))
+            c_i_start = np.asarray(ci_raw_j(jnp.asarray(x0), pj))
             mask = bounds.bound_constraint_mask
-            s0[mask] = (np.asarray(funcs.scaling.c_i) * c_i_start)[mask]
+            s0[mask] = (scaling.c_i * c_i_start)[mask]
         y0 = np.zeros(comp["me"])
         z0 = np.ones(comp["mi"])
-        mu0 = 0.1 * float(np.asarray(funcs.scaling.f))
+        mu0 = 0.1 * scaling.f
 
         def restoration_handler(state, st_time):
             outcome, x_n, s_n, y_n, z_n, iters = restore(
@@ -575,7 +614,7 @@ class Problem:
                 s=jnp.asarray(s_n),
             )
 
-        state = init(x0, s0, y0, z0, mu0, 0, pj)
+        state = init(x0, s0, y0, z0, mu0, 0, pj, sc)
         state = run_solver(
             state,
             step,
@@ -584,6 +623,7 @@ class Problem:
             info_fn=self._ipm_info,
             restoration_handler=restoration_handler,
             start_time=start_time,
+            runner=runner,
         )
         self._last_state = state
         return ExitStatus(int(state.status)), np.asarray(state.x)
@@ -617,15 +657,12 @@ def _sqp_as_ipm_parent(funcs: SQPFunctions, n: int, me: int) -> IPMFunctions:
         num_inequality_constraints=0,
         f=funcs.f,
         g=funcs.g,
-        H=lambda x, y, z, p: funcs.H(x, y, p),
-        H_c=lambda x, y, z, p: funcs.H_c(x, y, p),
+        H=lambda x, y, z, p, sc: funcs.H(x, y, p, sc),
+        H_c=lambda x, y, z, p, sc: funcs.H_c(x, y, p, sc),
         c_e=funcs.c_e,
         A_e=funcs.A_e,
-        c_i=lambda x, p: jnp.zeros(0),
-        A_i=lambda x, p: jnp.zeros((0, n)),
-        scaling=ScalingArrays(
-            f=funcs.scaling.f, c_e=funcs.scaling.c_e, c_i=jnp.zeros(0)
-        ),
+        c_i=lambda x, p, sc: jnp.zeros(0),
+        A_i=lambda x, p, sc: jnp.zeros((0, n)),
     )
 
 

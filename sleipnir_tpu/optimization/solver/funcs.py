@@ -24,30 +24,32 @@ class ScalingArrays(NamedTuple):
 
 
 class _Bound:
-    """Callback struct with a runtime `params` vector bound as the last
-    argument of every callable.
+    """Callback struct with runtime `params` and `scaling` bound as the
+    trailing arguments of every callable.
 
-    Non-decision variables referenced by the problem enter the compiled
-    functions as runtime parameters (not trace-time constants) so that
-    Sleipnir's set_value-then-re-solve workflow (reference docs/usage.md
-    "Suppressing constant pruning") doesn't retrace/recompile.
+    Non-decision variables enter the compiled functions as runtime
+    parameters (not trace-time constants) so that Sleipnir's
+    set-value-then-re-solve workflow (reference docs/usage.md "Suppressing
+    constant pruning") doesn't retrace; problem scaling is recomputed at
+    every solve's starting point (reference problem.hpp:616) and likewise
+    rides along as data.
     """
 
-    def __init__(self, funcs, params) -> None:
+    def __init__(self, funcs, params, scaling) -> None:
         for name in funcs._fields:
             value = getattr(funcs, name)
             if callable(value):
-                value = _bind_one(value, params)
+                value = _bind_one(value, params, scaling)
             setattr(self, name, value)
 
 
-def _bind_one(fn, params):
-    return lambda *args: fn(*args, params)
+def _bind_one(fn, params, scaling):
+    return lambda *args: fn(*args, params, scaling)
 
 
-def bind(funcs, params) -> _Bound:
-    """Bind a params vector into a callback struct."""
-    return _Bound(funcs, params)
+def bind(funcs, params, scaling) -> _Bound:
+    """Bind params and scaling vectors into a callback struct."""
+    return _Bound(funcs, params, scaling)
 
 
 class NewtonFunctions(NamedTuple):
@@ -58,7 +60,6 @@ class NewtonFunctions(NamedTuple):
     f: Callable  # f(x) -> scalar
     g: Callable  # g(x) -> (n,)
     H: Callable  # H(x) -> (n, n)
-    scaling: ScalingArrays
 
 
 class SQPFunctions(NamedTuple):
@@ -72,7 +73,6 @@ class SQPFunctions(NamedTuple):
     H_c: Callable  # H_c(x, y) -> (n, n)  constraint part only
     c_e: Callable  # c_e(x) -> (me,)
     A_e: Callable  # A_e(x) -> (me, n)
-    scaling: ScalingArrays
 
 
 class IPMFunctions(NamedTuple):
@@ -90,4 +90,3 @@ class IPMFunctions(NamedTuple):
     A_e: Callable  # A_e(x) -> (me, n)
     c_i: Callable  # c_i(x) -> (mi,)
     A_i: Callable  # A_i(x) -> (mi, n)
-    scaling: ScalingArrays

@@ -29,7 +29,11 @@ from jax import lax
 
 from sleipnir_tpu.optimization.solver import status_codes
 from sleipnir_tpu.optimization.solver.exit_status import ExitStatus
-from sleipnir_tpu.optimization.solver.funcs import IPMFunctions, bind
+from sleipnir_tpu.optimization.solver.funcs import (
+    IPMFunctions,
+    ScalingArrays,
+    bind,
+)
 from sleipnir_tpu.optimization.solver.options import Options
 from sleipnir_tpu.optimization.solver.util.filter import (
     FilterState,
@@ -100,6 +104,8 @@ class IPMState(NamedTuple):
     alpha_z: jnp.ndarray
     #: Runtime parameter vector (non-decision variables; see funcs.bind).
     params: jnp.ndarray
+    #: Problem scaling, recomputed per solve at x0 (reference problem.hpp:616).
+    scaling: ScalingArrays
 
 
 def _merge(pred, a, b):
@@ -144,9 +150,9 @@ def make_interior_point(
 
     # -- init --------------------------------------------------------------
 
-    def init(x0, s0, y0, z0, mu0, iterations0, params) -> IPMState:
+    def init(x0, s0, y0, z0, mu0, iterations0, params, scaling) -> IPMState:
         params = jnp.asarray(params, dtype)
-        F = bind(funcs, params)
+        F = bind(funcs, params, scaling)
         x0 = jnp.asarray(x0, dtype)
         s0 = jnp.asarray(s0, dtype)
         y0 = jnp.asarray(y0, dtype)
@@ -170,7 +176,7 @@ def make_interior_point(
         )
 
         E0 = unscaled_kkt_error_ipm(
-            funcs.scaling, g, A_e, c_e, A_i, c_i, s0, y0, z0,
+            scaling, g, A_e, c_e, A_i, c_i, s0, y0, z0,
             jnp.asarray(0.0, dtype),
         )
 
@@ -211,28 +217,29 @@ def make_interior_point(
             alpha_max=jnp.asarray(1.0, dtype),
             alpha_z=jnp.asarray(1.0, dtype),
             params=params,
+            scaling=scaling,
         )
 
     # -- per-iteration body ------------------------------------------------
 
-    mu_min_fn = lambda: funcs.scaling.f * tol / 10.0  # noqa: E731  (:294)
+
 
     def finish_iteration(st, x1, s1, y1, z1, f1, ce1, ci1, iterations):
         """Refresh derivatives, the KKT error, and the barrier parameter
         after an accepted step or a restoration return
         (reference :808-862)."""
-        F = bind(funcs, st.params)
+        F = bind(funcs, st.params, st.scaling)
         Ae1 = F.A_e(x1)
         Ai1 = F.A_i(x1)
         g1 = F.g(x1)
         H1 = F.H(x1, y1, z1)
         E0 = unscaled_kkt_error_ipm(
-            funcs.scaling, g1, Ae1, ce1, Ai1, ci1, s1, y1, z1,
+            st.scaling, g1, Ae1, ce1, Ai1, ci1, s1, y1, z1,
             jnp.asarray(0.0, dtype),
         )
 
-        # Barrier parameter update loop (reference :819-832)
-        mu_min = mu_min_fn()
+        # Barrier parameter minimum μ_min = d_f·tol/10 (reference :294)
+        mu_min = st.scaling.f * tol / 10.0
 
         def mu_cond(carry):
             mu_c, _tau_c, _filt_c = carry
@@ -286,7 +293,7 @@ def make_interior_point(
     def resume(st: IPMState, x1, s1, y1, z1, iterations) -> IPMState:
         """Resume the solve after host-side feasibility restoration updated
         the iterates (reference :769-771 then :808-862)."""
-        F = bind(funcs, st.params)
+        F = bind(funcs, st.params, st.scaling)
         x1 = jnp.asarray(x1, dtype)
         s1 = jnp.asarray(s1, dtype)
         y1 = jnp.asarray(y1, dtype)
@@ -320,7 +327,7 @@ def make_interior_point(
         guard: jnp.ndarray
 
     def iteration_body(st: IPMState) -> IPMState:
-        F = bind(funcs, st.params)
+        F = bind(funcs, st.params, st.scaling)
         x, s, y, z = st.x, st.s, st.y, st.z
         mu, tau = st.mu, st.tau
         f, c_e, c_i = st.f, st.c_e, st.c_i

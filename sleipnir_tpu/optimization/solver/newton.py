@@ -16,7 +16,11 @@ from jax import lax
 
 from sleipnir_tpu.optimization.solver import status_codes
 from sleipnir_tpu.optimization.solver.exit_status import ExitStatus
-from sleipnir_tpu.optimization.solver.funcs import NewtonFunctions, bind
+from sleipnir_tpu.optimization.solver.funcs import (
+    NewtonFunctions,
+    ScalingArrays,
+    bind,
+)
 from sleipnir_tpu.optimization.solver.options import Options
 from sleipnir_tpu.optimization.solver.util.filter import (
     FilterState,
@@ -53,6 +57,8 @@ class NewtonState(NamedTuple):
     alpha: jnp.ndarray
     #: Runtime parameter vector (non-decision variables; see funcs.bind).
     params: jnp.ndarray
+    #: Problem scaling, recomputed per solve at x0 (reference problem.hpp:382).
+    scaling: ScalingArrays
 
 
 def _merge(pred, a, b):
@@ -64,9 +70,9 @@ def make_newton(funcs: NewtonFunctions, options: Options):
     dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
     tol = options.tolerance
 
-    def init(x0, params, iterations0=0) -> NewtonState:
+    def init(x0, params, scaling, iterations0=0) -> NewtonState:
         params = jnp.asarray(params, dtype)
-        F = bind(funcs, params)
+        F = bind(funcs, params, scaling)
         x0 = jnp.asarray(x0, dtype)
         f = F.f(x0)
         g = F.g(x0)
@@ -76,7 +82,7 @@ def make_newton(funcs: NewtonFunctions, options: Options):
             & jnp.all(jnp.isfinite(g))
             & jnp.all(jnp.isfinite(H))
         )
-        E0 = unscaled_kkt_error_newton(funcs.scaling, g)
+        E0 = unscaled_kkt_error_newton(scaling, g)
         status = jnp.where(
             ~finite,
             int(ExitStatus.NONFINITE_INITIAL_GUESS),
@@ -96,6 +102,7 @@ def make_newton(funcs: NewtonFunctions, options: Options):
             status=status,
             alpha=jnp.asarray(1.0, dtype),
             params=params,
+            scaling=scaling,
         )
 
     class LSCarry(NamedTuple):
@@ -108,7 +115,7 @@ def make_newton(funcs: NewtonFunctions, options: Options):
         guard: jnp.ndarray
 
     def iteration_body(st: NewtonState) -> NewtonState:
-        F = bind(funcs, st.params)
+        F = bind(funcs, st.params, st.scaling)
         x, f, g, H = st.x, st.f, st.g, st.H
 
         fac = regularized_ldlt(H, n, 0, st.prev_delta, 1e-10)
@@ -217,7 +224,7 @@ def make_newton(funcs: NewtonFunctions, options: Options):
                 x1 = ls.tx
                 g1 = F.g(x1)
                 H1 = F.H(x1)
-                E0 = unscaled_kkt_error_newton(funcs.scaling, g1)
+                E0 = unscaled_kkt_error_newton(st.scaling, g1)
                 iterations = st.iterations + 1
                 status = jnp.where(
                     iterations >= options.max_iterations,

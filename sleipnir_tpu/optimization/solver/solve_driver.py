@@ -31,6 +31,23 @@ from sleipnir_tpu.optimization.solver.options import Options
 DEFAULT_CHUNK = 256
 
 
+def make_runner(step: Callable) -> Callable:
+    """Build the jitted device-resident chunk runner for a step function.
+
+    Built once per compiled solver and reused across solves so repeated
+    solves (multistart, parameter sweeps) don't recompile the loop.
+    """
+
+    def _run_chunk(st, cap):
+        return lax.while_loop(
+            lambda s: (s.status == status_codes.RUNNING) & (s.iterations < cap),
+            step,
+            st,
+        )
+
+    return jax.jit(_run_chunk)
+
+
 def run_solver(
     state,
     step: Callable,
@@ -40,6 +57,7 @@ def run_solver(
     restoration_handler: Callable | None = None,
     diagnostics_fn: Callable | None = None,
     start_time: float | None = None,
+    runner: Callable | None = None,
 ):
     """Drive `step` until the state's status leaves RUNNING.
 
@@ -54,17 +72,8 @@ def run_solver(
         32 if np.isfinite(options.timeout) else DEFAULT_CHUNK
     )
 
-    runner = None
-    if not observed:
-        def _run_chunk(st, cap):
-            return lax.while_loop(
-                lambda s: (s.status == status_codes.RUNNING)
-                & (s.iterations < cap),
-                step,
-                st,
-            )
-
-        runner = jax.jit(_run_chunk)
+    if not observed and runner is None:
+        runner = make_runner(step)
 
     while True:
         status = int(state.status)

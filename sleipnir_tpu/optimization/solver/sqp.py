@@ -16,7 +16,11 @@ from jax import lax
 
 from sleipnir_tpu.optimization.solver import status_codes
 from sleipnir_tpu.optimization.solver.exit_status import ExitStatus
-from sleipnir_tpu.optimization.solver.funcs import SQPFunctions, bind
+from sleipnir_tpu.optimization.solver.funcs import (
+    ScalingArrays,
+    SQPFunctions,
+    bind,
+)
 from sleipnir_tpu.optimization.solver.options import Options
 from sleipnir_tpu.optimization.solver.util.filter import (
     FilterState,
@@ -63,6 +67,8 @@ class SQPState(NamedTuple):
     alpha: jnp.ndarray
     #: Runtime parameter vector (non-decision variables; see funcs.bind).
     params: jnp.ndarray
+    #: Problem scaling, recomputed per solve at x0 (reference problem.hpp:477).
+    scaling: ScalingArrays
 
 
 def _merge(pred, a, b):
@@ -79,9 +85,9 @@ def make_sqp(funcs: SQPFunctions, options: Options):
     dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
     tol = options.tolerance
 
-    def init(x0, params, y0=None, iterations0=0) -> SQPState:
+    def init(x0, params, scaling, y0=None, iterations0=0) -> SQPState:
         params = jnp.asarray(params, dtype)
-        F = bind(funcs, params)
+        F = bind(funcs, params, scaling)
         x0 = jnp.asarray(x0, dtype)
         y0 = (
             jnp.zeros((me,), dtype)
@@ -100,7 +106,7 @@ def make_sqp(funcs: SQPFunctions, options: Options):
             & jnp.all(jnp.isfinite(c_e))
             & jnp.all(jnp.isfinite(A_e))
         )
-        E0 = unscaled_kkt_error_sqp(funcs.scaling, g, A_e, c_e, y0)
+        E0 = unscaled_kkt_error_sqp(scaling, g, A_e, c_e, y0)
         if me > n:
             status = jnp.asarray(int(ExitStatus.TOO_FEW_DOFS), jnp.int32)
         else:
@@ -129,16 +135,17 @@ def make_sqp(funcs: SQPFunctions, options: Options):
             status=status,
             alpha=jnp.asarray(1.0, dtype),
             params=params,
+            scaling=scaling,
         )
 
     def finish_iteration(st, x1, y1, f1, ce1, iterations):
         """Refresh derivatives, KKT error, and exit conditions after an
         accepted step or restoration return (reference sqp.hpp:560-592)."""
-        F = bind(funcs, st.params)
+        F = bind(funcs, st.params, st.scaling)
         Ae1 = F.A_e(x1)
         g1 = F.g(x1)
         H1 = F.H(x1, y1)
-        E0 = unscaled_kkt_error_sqp(funcs.scaling, g1, Ae1, ce1, y1)
+        E0 = unscaled_kkt_error_sqp(st.scaling, g1, Ae1, ce1, y1)
         iterations = jnp.asarray(iterations, jnp.int32)
         status = jnp.where(
             iterations >= options.max_iterations,
@@ -163,7 +170,7 @@ def make_sqp(funcs: SQPFunctions, options: Options):
     def resume(st: SQPState, x1, y1, iterations) -> SQPState:
         """Resume after host-side feasibility restoration
         (reference sqp.hpp:544-545 then :560-592)."""
-        F = bind(funcs, st.params)
+        F = bind(funcs, st.params, st.scaling)
         x1 = jnp.asarray(x1, dtype)
         y1 = jnp.asarray(y1, dtype)
         return finish_iteration(
@@ -186,7 +193,7 @@ def make_sqp(funcs: SQPFunctions, options: Options):
         guard: jnp.ndarray
 
     def iteration_body(st: SQPState) -> SQPState:
-        F = bind(funcs, st.params)
+        F = bind(funcs, st.params, st.scaling)
         x, y = st.x, st.y
         f, c_e = st.f, st.c_e
         g, H, A_e = st.g, st.H, st.A_e

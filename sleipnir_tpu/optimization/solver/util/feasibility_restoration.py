@@ -108,7 +108,7 @@ def restore(
 
     # Inherit parent's constraint scaling; cost unscaled; new rows unscaled
     # (reference :423-430).
-    parent_sc = parent.scaling
+    parent_sc = parent_state.scaling
     fr_scaling = ScalingArrays(
         f=jnp.asarray(1.0),
         c_e=jnp.asarray(parent_sc.c_e),
@@ -120,50 +120,50 @@ def restore(
     D_r_j = jnp.asarray(D_r)
     x_r_j = jnp.asarray(x_r)
 
-    def fr_f(xp, params):
+    def fr_f(xp, params, scaling):
         xx = xp[:n]
         diff = xx - x_r_j
         return RHO * jnp.sum(xp[n:]) + 0.5 * zeta * diff @ (D_r_j * diff)
 
-    def fr_g(xp, params):
+    def fr_g(xp, params, scaling):
         xx = xp[:n]
         return jnp.concatenate(
             [zeta * D_r_j * (xx - x_r_j), jnp.full((n_extra,), RHO)]
         )
 
-    def fr_H(xp, yp, zp, params):
+    def fr_H(xp, yp, zp, params, scaling):
         out = jnp.zeros((N, N))
         out = out.at[:n, :n].set(
-            jnp.diag(zeta * D_r_j) + parent.H_c(xp[:n], yp, zp[:mi], params)
+            jnp.diag(zeta * D_r_j) + parent.H_c(xp[:n], yp, zp[:mi], params, parent_sc)
         )
         return out
 
-    def fr_H_c(xp, yp, zp, params):
+    def fr_H_c(xp, yp, zp, params, scaling):
         return jnp.zeros((N, N))
 
-    def fr_c_e(xp, params):
+    def fr_c_e(xp, params, scaling):
         p_e = xp[n : n + me]
         n_e = xp[n + me : n + 2 * me]
-        return parent.c_e(xp[:n], params) - p_e + n_e
+        return parent.c_e(xp[:n], params, parent_sc) - p_e + n_e
 
-    def fr_A_e(xp, params):
+    def fr_A_e(xp, params, scaling):
         out = jnp.zeros((me, N))
-        out = out.at[:, :n].set(parent.A_e(xp[:n], params))
+        out = out.at[:, :n].set(parent.A_e(xp[:n], params, parent_sc))
         if me > 0:
             eye = jnp.eye(me)
             out = out.at[:, n : n + me].set(-eye)
             out = out.at[:, n + me : n + 2 * me].set(eye)
         return out
 
-    def fr_c_i(xp, params):
+    def fr_c_i(xp, params, scaling):
         p_i = xp[n + 2 * me : n + 2 * me + mi]
         n_i = xp[n + 2 * me + mi :]
-        top = parent.c_i(xp[:n], params) - p_i + n_i
+        top = parent.c_i(xp[:n], params, parent_sc) - p_i + n_i
         return jnp.concatenate([top, xp[n:]])
 
-    def fr_A_i(xp, params):
+    def fr_A_i(xp, params, scaling):
         out = jnp.zeros((MI, N))
-        out = out.at[:mi, :n].set(parent.A_i(xp[:n], params))
+        out = out.at[:mi, :n].set(parent.A_i(xp[:n], params, parent_sc))
         if mi > 0:
             eye = jnp.eye(mi)
             out = out.at[:mi, n + 2 * me : n + 2 * me + mi].set(-eye)
@@ -183,7 +183,6 @@ def restore(
         A_e=fr_A_e,
         c_i=fr_c_i,
         A_i=fr_A_i,
-        scaling=fr_scaling,
     )
 
     # Early-stop check: parent filter accepts the candidate with a 10x
@@ -199,9 +198,9 @@ def restore(
     def stop_check(rst):
         tx = rst.x[:n]
         ts = rst.s[:mi]
-        tf = parent.f(tx, rst.params)
-        tce = parent.c_e(tx, rst.params)
-        tci = parent.c_i(tx, rst.params)
+        tf = parent.f(tx, rst.params, parent_sc)
+        tce = parent.c_e(tx, rst.params, parent_sc)
+        tci = parent.c_i(tx, rst.params, parent_sc)
         trial_cost = tf - mu * jnp.sum(jnp.log(ts))
         trial_viol = jnp.sum(jnp.abs(tce)) + jnp.sum(jnp.abs(tci - ts))
         D_phi_r = parent_g @ (tx - x_r_j) - mu * jnp.sum(
@@ -226,7 +225,14 @@ def restore(
     )
 
     state = fr_init(
-        fr_x0, fr_s0, fr_y0, fr_z0, fr_mu, iterations0, parent_state.params
+        fr_x0,
+        fr_s0,
+        fr_y0,
+        fr_z0,
+        fr_mu,
+        iterations0,
+        parent_state.params,
+        fr_scaling,
     )
     state = run_solver(
         state, fr_step, options, start_time=start_time
@@ -241,9 +247,9 @@ def restore(
         # Parent filter accepted: estimate duals and resume
         # (reference :612-622).
         pj = parent_state.params
-        g_new = np.asarray(parent.g(jnp.asarray(x_new), pj))
-        A_e_new = np.asarray(parent.A_e(jnp.asarray(x_new), pj))
-        A_i_new = np.asarray(parent.A_i(jnp.asarray(x_new), pj))
+        g_new = np.asarray(parent.g(jnp.asarray(x_new), pj, parent_sc))
+        A_e_new = np.asarray(parent.A_e(jnp.asarray(x_new), pj, parent_sc))
+        A_i_new = np.asarray(parent.A_i(jnp.asarray(x_new), pj, parent_sc))
         y_est, z_est = lagrange_multiplier_estimate(
             g_new, A_e_new, A_i_new, s_new, mu
         )
