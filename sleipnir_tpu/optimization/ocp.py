@@ -135,8 +135,9 @@ class OCP(Problem):
 
         if transcription_method == TranscriptionMethod.SINGLE_SHOOTING:
             # States are expressions of the inputs, not decision variables
-            # (reference ocp.hpp:151-156).
-            self._X = VariableMatrix(np.zeros((num_states, N + 1)))
+            # (reference ocp.hpp:151-156). Column 0 stays an unregistered
+            # variable (a runtime parameter) so the initial state is settable.
+            self._X = VariableMatrix(num_states, N + 1)
             self._x_offset = None
             self._constrain_single_shooting()
         else:
@@ -266,7 +267,13 @@ class OCP(Problem):
             x_ph = VariableMatrix(self._num_states, 1)
             u_ph = VariableMatrix(self._num_inputs, 1)
             t_ph = Variable()
-            h_ph = Variable()
+            # A fixed timestep is a constant in the expression graph; only
+            # variable-timestep methods make dt a decision variable.
+            if self._timestep_method == TimestepMethod.FIXED:
+                h_ph = Variable(self._fixed_dt)
+                t_ph = Variable(0.0)
+            else:
+                h_ph = Variable()
             if self._dynamics_type == DynamicsType.EXPLICIT_ODE:
                 out = self._rk4_sym(self._dynamics, x_ph, u_ph, t_ph, h_ph)
             else:
