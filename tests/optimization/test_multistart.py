@@ -36,7 +36,7 @@ def test_mishras_bird_function():
         )
 
     result = multistart(
-        solve, [(-3.0, -8.0), (-9.0, -4.0)]
+        solve, [(-3.0, -8.0), (-3.0, -1.5)]
     )
 
     assert result.status == ExitStatus.SUCCESS
