@@ -297,12 +297,36 @@ class Problem:
         c_e_type = self.equality_constraint_type()
         c_i_type = self.inequality_constraint_type()
 
+        if options.diagnostics:
+            from sleipnir_tpu.util.print_diagnostics import (  # noqa: PLC0415
+                print_exit_conditions,
+                print_problem_analysis,
+            )
+
+            print_exit_conditions(options)
+            print_problem_analysis(
+                int(self._all_ids().shape[0]),
+                f_type,
+                sum(
+                    b.rows if isinstance(b, _FnBlock) else b.size
+                    for b in self._equality
+                ),
+                c_e_type,
+                sum(
+                    b.rows if isinstance(b, _FnBlock) else b.size
+                    for b in self._inequality
+                ),
+                c_i_type,
+            )
+
         # No-op problem (reference problem.hpp:303-313)
         if (
             f_type <= ExpressionType.CONSTANT
             and c_e_type <= ExpressionType.CONSTANT
             and c_i_type <= ExpressionType.CONSTANT
         ):
+            if options.diagnostics:
+                print("\nInvoking no-op solver\n")
             return ExitStatus.SUCCESS
 
         start_time = time.monotonic()
@@ -314,17 +338,26 @@ class Problem:
         params = comp["compiled"].gather_params()
 
         if mi > 0:
+            if options.diagnostics:
+                print("\nInvoking IPM solver\n")
             status, final_x = self._solve_ipm(
-                comp, x0, params, options, start_time
+                comp, x0, params, options, start_time, spy
             )
         elif me > 0:
+            if options.diagnostics:
+                print("\nInvoking SQP solver\n")
             status, final_x = self._solve_sqp(
-                comp, x0, params, options, start_time
+                comp, x0, params, options, start_time, spy
             )
         else:
+            if options.diagnostics:
+                print("\nInvoking Newton solver\n")
             status, final_x = self._solve_newton(
-                comp, x0, params, options, start_time
+                comp, x0, params, options, start_time, spy
             )
+
+        if options.diagnostics:
+            print(f"\nExit: {status}")
 
         # Write the solution back into the decision variables
         # (reference problem.hpp:676).
@@ -365,7 +398,78 @@ class Problem:
             options.dtype,
         )
 
-    def _solve_newton(self, comp, x0, params, options, start_time):
+    def _make_spy_callback(self, with_inequality: bool):
+        """Create the per-iteration sparsity recorder installed by
+        solve(spy=True) (reference problem.hpp:569-594)."""
+        comp = self._compile()
+        writers = _spy_writers(
+            comp["n"], comp["me"], comp["mi"], with_inequality
+        )
+
+        def cb(info: IterationInfo):
+            writers["H"].add(info.H)
+            writers["A_e"].add(info.A_e)
+            if with_inequality:
+                writers["A_i"].add(info.A_i)
+            return False
+
+        return cb
+
+    @staticmethod
+    def _diagnostics_fn(kind):
+        from sleipnir_tpu.util.print_diagnostics import (  # noqa: PLC0415
+            NORMAL,
+            print_iteration_diagnostics,
+        )
+        import time as _time  # noqa: PLC0415
+
+        last = {"t": _time.perf_counter()}
+
+        def diag(prev, after):
+            now = _time.perf_counter()
+            dt_ms = (now - last["t"]) * 1e3
+            last["t"] = now
+            infeas = 0.0
+            complem = 0.0
+            mu = 0.0
+            alpha_z = 1.0
+            p_pr = float(getattr(after, "p_pr_inf", 0.0))
+            p_du = float(getattr(after, "p_du_inf", 0.0))
+            if kind == "ipm":
+                s_v = np.asarray(after.s)
+                z_v = np.asarray(after.z)
+                infeas = float(
+                    np.sum(np.abs(np.asarray(after.c_e)))
+                    + np.sum(np.abs(np.asarray(after.c_i) - s_v))
+                )
+                complem = float(s_v @ z_v)
+                mu = float(after.mu)
+                alpha_z = float(after.alpha_z)
+            elif kind == "sqp":
+                infeas = float(np.sum(np.abs(np.asarray(after.c_e))))
+                alpha_z = float(after.alpha)
+            print_iteration_diagnostics(
+                int(prev.iterations),
+                NORMAL,
+                dt_ms,
+                float(after.E0),
+                float(after.f),
+                infeas,
+                complem,
+                mu,
+                float(after.delta),
+                float(after.gamma),
+                p_pr,
+                p_du,
+                float(after.alpha),
+                float(getattr(after, "alpha_max", 1.0)),
+                0.5,
+                alpha_z,
+            )
+
+        return diag
+
+    def _solve_newton(self, comp, x0, params, options, start_time, spy=False):
         """(reference problem.hpp:335-402)"""
         key = self._cache_key("newton", options)
         cached = self._solver_cache.get(key)
@@ -398,6 +502,7 @@ class Problem:
             info_fn=self._newton_info,
             start_time=start_time,
             runner=runner,
+            diagnostics_fn=self._diagnostics_fn("newton"),
         )
         self._last_state = state
         return ExitStatus(int(state.status)), np.asarray(state.x)
@@ -417,7 +522,7 @@ class Problem:
             A_i=np.zeros((0, state.x.shape[0])),
         )
 
-    def _solve_sqp(self, comp, x0, params, options, start_time):
+    def _solve_sqp(self, comp, x0, params, options, start_time, spy=False):
         """(reference problem.hpp:403-511)"""
         key = self._cache_key("sqp", options)
         cached = self._solver_cache.get(key)
@@ -495,16 +600,20 @@ class Problem:
                 status=np.int32(int(outcome)), x=jnp.asarray(x_n)
             )
 
+        callbacks = list(self._callbacks)
+        if spy:
+            callbacks.append(self._make_spy_callback(with_inequality=False))
         state = init(x0, pj, sc)
         state = run_solver(
             state,
             step,
             options,
-            callbacks=self._callbacks,
+            callbacks=callbacks,
             info_fn=self._sqp_info,
             restoration_handler=restoration_handler,
             start_time=start_time,
             runner=runner,
+            diagnostics_fn=self._diagnostics_fn("sqp"),
         )
         self._last_state = state
         return ExitStatus(int(state.status)), np.asarray(state.x)
@@ -524,9 +633,17 @@ class Problem:
             A_i=np.zeros((0, state.x.shape[0])),
         )
 
-    def _solve_ipm(self, comp, x0, params, options, start_time):
-        """(reference problem.hpp:512-669)"""
-        xj, pj = jnp.asarray(x0), jnp.asarray(params)
+    def prepare_ipm(self, options: Options | None = None):
+        """Compile (or fetch cached) the interior-point solver bundle for
+        this problem: (init, step, resume, funcs, runner, jitted g/A_e/A_i/
+        c_i). Used by solve() and by the batched/sharded drivers in
+        sleipnir_tpu.parallel."""
+        if options is None:
+            options = Options()
+        comp = self._compile()
+        return comp, self._prepare_ipm(comp, options)
+
+    def _prepare_ipm(self, comp, options):
         key = self._cache_key("ipm", options)
         cached = self._solver_cache.get(key)
         if cached is None:
@@ -560,6 +677,22 @@ class Problem:
                 jax.jit(ci_raw),
             )
             self._solver_cache[key] = cached
+        return cached
+
+    def compute_ipm_scaling(self, comp, cached, x0, params):
+        """Problem scaling at a starting point (reference problem.hpp:612-616)."""
+        (_i, _s, _r, _f, _run, g_fn_j, A_e_fn_j, A_i_fn_j, _ci) = cached
+        xj, pj = jnp.asarray(x0), jnp.asarray(params)
+        g0 = np.asarray(g_fn_j(xj, pj))
+        A_e0 = np.asarray(A_e_fn_j(xj, pj))
+        A_i0 = np.asarray(A_i_fn_j(xj, pj))
+        scaling = ProblemScaling.for_ipm(g0, A_e0, A_i0)
+        return scaling, A_i0
+
+    def _solve_ipm(self, comp, x0, params, options, start_time, spy=False):
+        """(reference problem.hpp:512-669)"""
+        xj, pj = jnp.asarray(x0), jnp.asarray(params)
+        cached = self._prepare_ipm(comp, options)
         (
             init,
             step,
@@ -614,16 +747,20 @@ class Problem:
                 s=jnp.asarray(s_n),
             )
 
+        callbacks = list(self._callbacks)
+        if spy:
+            callbacks.append(self._make_spy_callback(with_inequality=True))
         state = init(x0, s0, y0, z0, mu0, 0, pj, sc)
         state = run_solver(
             state,
             step,
             options,
-            callbacks=self._callbacks,
+            callbacks=callbacks,
             info_fn=self._ipm_info,
             restoration_handler=restoration_handler,
             start_time=start_time,
             runner=runner,
+            diagnostics_fn=self._diagnostics_fn("ipm"),
         )
         self._last_state = state
         return ExitStatus(int(state.status)), np.asarray(state.x)
@@ -641,6 +778,27 @@ class Problem:
             A_e=np.asarray(state.A_e),
             A_i=np.asarray(state.A_i),
         )
+
+
+def _spy_writers(n, me, mi, with_inequality):
+    from sleipnir_tpu.util.spy import Spy  # noqa: PLC0415
+
+    writers = {
+        "H": Spy(
+            "H.spy", "Hessian", "Decision variables", "Decision variables",
+            n, n,
+        ),
+        "A_e": Spy(
+            "A_e.spy", "Equality constraint Jacobian", "Constraints",
+            "Decision variables", me, n,
+        ),
+    }
+    if with_inequality:
+        writers["A_i"] = Spy(
+            "A_i.spy", "Inequality constraint Jacobian", "Constraints",
+            "Decision variables", mi, n,
+        )
+    return writers
 
 
 class _ShimState:

@@ -102,6 +102,9 @@ class IPMState(NamedTuple):
     alpha: jnp.ndarray
     alpha_max: jnp.ndarray
     alpha_z: jnp.ndarray
+    #: Diagnostics: ∞-norms of the last accepted primal/dual steps.
+    p_pr_inf: jnp.ndarray
+    p_du_inf: jnp.ndarray
     #: Runtime parameter vector (non-decision variables; see funcs.bind).
     params: jnp.ndarray
     #: Problem scaling, recomputed per solve at x0 (reference problem.hpp:616).
@@ -216,6 +219,8 @@ def make_interior_point(
             alpha=jnp.asarray(1.0, dtype),
             alpha_max=jnp.asarray(1.0, dtype),
             alpha_z=jnp.asarray(1.0, dtype),
+            p_pr_inf=jnp.asarray(0.0, dtype),
+            p_du_inf=jnp.asarray(0.0, dtype),
             params=params,
             scaling=scaling,
         )
@@ -709,6 +714,14 @@ def make_interior_point(
                 if mi > 0
                 else ls.tz
             )
+            p_pr = jnp.maximum(
+                jnp.max(jnp.abs(ls.p_x), initial=0.0),
+                jnp.max(jnp.abs(ls.p_s), initial=0.0),
+            )
+            p_du = jnp.maximum(
+                jnp.max(jnp.abs(ls.p_y), initial=0.0),
+                jnp.max(jnp.abs(ls.p_z), initial=0.0),
+            )
             out = finish_iteration(
                 st._replace(
                     filt=ls.filt,
@@ -719,6 +732,8 @@ def make_interior_point(
                     alpha=ls.alpha,
                     alpha_max=alpha_max,
                     alpha_z=ls.alpha_z,
+                    p_pr_inf=p_pr,
+                    p_du_inf=p_du,
                 ),
                 x1,
                 s1,
