@@ -576,3 +576,58 @@ class CompiledEval:
             return v
 
         return tuple(rec(e) for e in self.exprs)
+
+
+# ---------------------------------------------------------------------------
+# Structural analysis: per-element stage classification
+# ---------------------------------------------------------------------------
+
+_ELEMENTWISE_OPS = {
+    "add", "sub", "mul", "div", "neg", "pow_const", "pow_expr",
+    "abs", "acos", "asin", "atan", "atan2", "cbrt", "cos", "cosh", "erf",
+    "exp", "hypot", "log", "log10", "maximum", "minimum", "sign", "sin",
+    "sinh", "sqrt", "tan", "tanh",
+}
+
+_STRUCTURAL_OPS_ANALYSIS = {
+    "getitem", "setblock", "vstack", "hstack", "transpose", "reshape",
+}
+
+
+def element_stages(expr: Expr, stage_of_id: dict) -> np.ndarray:
+    """Classify each element of an expression by the OCP stage of the
+    variables it references.
+
+    Returns an array shaped like the expression: the stage index if every
+    referenced decision variable in that element belongs to one stage, -1
+    if the element references no staged variable (constants/parameters),
+    -2 if it mixes stages or passes through a non-elementwise op. Used by
+    the banded KKT backend to assign constraint rows to stages.
+    """
+
+    def combine(a, b):
+        a, b = np.broadcast_arrays(a, b)
+        return np.where(
+            a == -1, b, np.where((b == -1) | (a == b), a, -2)
+        )
+
+    def rec(e: Expr) -> np.ndarray:
+        if isinstance(e, ConstExpr):
+            return np.full(e.shape, -1, dtype=np.int64)
+        if isinstance(e, DecVarExpr):
+            look = np.vectorize(
+                lambda i: stage_of_id.get(int(i), -1), otypes=[np.int64]
+            )
+            return look(e.ids) if e.ids.size else np.full(e.shape, -1, np.int64)
+        assert isinstance(e, OpExpr)
+        if e.op in _STRUCTURAL_OPS_ANALYSIS:
+            vals = [rec(a) for a in e.args]
+            return np.asarray(_EVAL[e.op](np, e.static, *vals))
+        if e.op in _ELEMENTWISE_OPS:
+            out = np.full((), -1, dtype=np.int64)
+            for a in e.args:
+                out = combine(out, rec(a))
+            return np.broadcast_to(out, e.shape).copy()
+        return np.full(e.shape, -2, dtype=np.int64)
+
+    return rec(expr)

@@ -366,7 +366,12 @@ class OCP(Problem):
             return res.reshape(-1)
 
         self._subject_to_fn(
-            block_fn, N * ns, self._step_linearity(), equality=True
+            block_fn,
+            N * ns,
+            self._step_linearity(),
+            equality=True,
+            # Dynamics rows of step k anchor at stage k (couple z_k, z_{k+1})
+            row_stage=np.repeat(np.arange(N), ns),
         )
 
     def _constrain_direct_transcription_dsl(self) -> None:
@@ -408,6 +413,128 @@ class OCP(Problem):
             u_c = (u_begin + u_end) * 0.5
             self.subject_to(xdot_c == f(t_c, x_c, u_c, h))
             time = time + h
+
+    # -- banded KKT structure (SURVEY.md §7 step 3) -------------------------
+
+    def _make_kkt_backend(self, comp, options, dtype):
+        """Use the block-tridiagonal KKT backend when the problem's
+        constraints all fit the stage band; fall back to dense otherwise."""
+        structure = self._stage_structure(comp)
+        if structure is None:
+            return None
+        from sleipnir_tpu.optimization.solver.kkt_banded import (  # noqa: PLC0415
+            BandedBackend,
+        )
+
+        return BandedBackend(
+            structure,
+            comp["f"],
+            comp["c_e"],
+            comp["c_i"],
+            comp["n"],
+            comp["me"],
+            comp["mi"],
+            dtype,
+        )
+
+    def _stage_structure(self, comp):
+        """Derive the stage assignment of every variable and constraint row,
+        or None if the problem doesn't fit the band."""
+        from sleipnir_tpu.autodiff.expression import element_stages  # noqa: PLC0415
+        from sleipnir_tpu.optimization.problem import _FnBlock  # noqa: PLC0415
+        from sleipnir_tpu.optimization.solver.kkt_banded import (  # noqa: PLC0415
+            StageStructure,
+        )
+
+        if self._transcription_method == TranscriptionMethod.SINGLE_SHOOTING:
+            return None
+        if self._timestep_method != TimestepMethod.FIXED:
+            return None
+
+        ns, ni, N = self._num_states, self._num_inputs, self._num_steps
+        K = N + 1
+        m = ns + ni
+        all_ids = comp["all_ids"]
+        if all_ids.shape[0] != K * m:
+            return None  # extra decision variables outside the stages
+
+        from sleipnir_tpu.autodiff.expression import DecVarExpr  # noqa: PLC0415
+
+        if not isinstance(self._X.expr, DecVarExpr) or not isinstance(
+            self._U.expr, DecVarExpr
+        ):
+            return None  # X/U were overwritten with expressions
+        x_ids = self._X.expr.ids  # (ns, K)
+        u_ids = self._U.expr.ids  # (ni, K)
+        if x_ids.shape != (ns, K) or u_ids.shape != (ni, K):
+            return None
+
+        stage_of_id = {}
+        for k in range(K):
+            for i in range(ns):
+                stage_of_id[int(x_ids[i, k])] = k
+            for i in range(ni):
+                stage_of_id[int(u_ids[i, k])] = k
+
+        # Staged variable order: z_k = (x_k, u_k); var_perm maps staged
+        # position -> flat position
+        pos_of_id = {int(g): i for i, g in enumerate(all_ids)}
+        var_perm = np.zeros(K * m, dtype=np.int64)
+        for k in range(K):
+            for i in range(ns):
+                var_perm[k * m + i] = pos_of_id[int(x_ids[i, k])]
+            for i in range(ni):
+                var_perm[k * m + ns + i] = pos_of_id[int(u_ids[i, k])]
+
+        def classify(blocks):
+            stages = []
+            for b in blocks:
+                if isinstance(b, _FnBlock):
+                    if b.row_stage is None:
+                        return None
+                    stages.append(np.asarray(b.row_stage, dtype=np.int64))
+                else:
+                    es = element_stages(b, stage_of_id).ravel()
+                    if np.any(es < 0):
+                        return None
+                    stages.append(es)
+            return (
+                np.concatenate(stages)
+                if stages
+                else np.zeros(0, dtype=np.int64)
+            )
+
+        ce_stage = classify(self._equality)
+        ci_stage = classify(self._inequality)
+        if ce_stage is None or ci_stage is None:
+            return None
+        if ce_stage.shape[0] != comp["me"] or ci_stage.shape[0] != comp["mi"]:
+            return None
+
+        def slots(stages):
+            counters = np.zeros(K, dtype=np.int64)
+            out = np.zeros(stages.shape[0], dtype=np.int64)
+            for i, s_ in enumerate(stages):
+                out[i] = counters[s_]
+                counters[s_] += 1
+            return out, int(counters.max()) if stages.shape[0] else 0
+
+        ce_slot, p = slots(ce_stage)
+        ci_slot, q = slots(ci_stage)
+        if p > 4 * m or q > 8 * m:
+            return None  # pathologically uneven stages; dense is better
+
+        return StageStructure(
+            num_stages=K,
+            stage_width=m,
+            var_perm=var_perm,
+            ce_stage=ce_stage,
+            ce_slot=ce_slot,
+            eq_pad=max(p, 1),
+            ci_stage=ci_stage,
+            ci_slot=ci_slot,
+            ineq_pad=max(q, 1),
+        )
 
     def _constrain_single_shooting(self) -> None:
         """(reference ocp.hpp:381-401)"""

@@ -66,14 +66,24 @@ from sleipnir_tpu.optimization.solver.util.problem_scaling import (
 class _FnBlock:
     """A functional constraint block: residuals given directly as a JAX
     function of the flat decision vector (the OCP fast path — one traced
-    program regardless of horizon length, instead of O(N) DSL nodes)."""
+    program regardless of horizon length, instead of O(N) DSL nodes).
 
-    __slots__ = ("fn", "rows", "lin")
+    `row_stage` optionally assigns each residual row to an OCP stage for
+    the banded KKT backend."""
 
-    def __init__(self, fn: Callable, rows: int, lin: ExpressionType) -> None:
+    __slots__ = ("fn", "rows", "lin", "row_stage")
+
+    def __init__(
+        self,
+        fn: Callable,
+        rows: int,
+        lin: ExpressionType,
+        row_stage=None,
+    ) -> None:
         self.fn = fn
         self.rows = rows
         self.lin = lin
+        self.row_stage = row_stage
 
 
 class Problem:
@@ -159,10 +169,11 @@ class Problem:
         lin: ExpressionType,
         *,
         equality: bool,
+        row_stage=None,
     ) -> None:
         """Register a functional constraint block (OCP fast path)."""
         self._structure_version += 1
-        block = _FnBlock(fn, rows, lin)
+        block = _FnBlock(fn, rows, lin, row_stage)
         (self._equality if equality else self._inequality).append(block)
 
     def add_callback(self, callback: Callable) -> None:
@@ -664,7 +675,21 @@ class Problem:
                 c_i=lambda x, p, sc: sc.c_i * ci_raw(x, p),
                 A_i=lambda x, p, sc: sc.c_i[:, None] * A_i_fn(x, p),
             )
-            init, step, resume = make_interior_point(funcs, options)
+            from sleipnir_tpu.optimization.solver.kkt_backend import (  # noqa: PLC0415
+                DenseBackend,
+            )
+
+            dtype = (
+                jnp.float64 if options.dtype == "float64" else jnp.float32
+            )
+            backend = self._make_kkt_backend(comp, options, dtype)
+            if backend is None:
+                backend = DenseBackend(
+                    comp["n"], comp["me"], comp["mi"], dtype
+                )
+            init, step, resume = make_interior_point(
+                funcs, options, backend=backend
+            )
             cached = (
                 jax.jit(init),
                 step,
@@ -675,13 +700,19 @@ class Problem:
                 jax.jit(A_e_fn),
                 jax.jit(A_i_fn),
                 jax.jit(ci_raw),
+                backend,
             )
             self._solver_cache[key] = cached
         return cached
 
+    def _make_kkt_backend(self, comp, options, dtype):
+        """Hook for structured problems (OCP overrides to return a banded
+        backend when the stage structure allows it)."""
+        return None
+
     def compute_ipm_scaling(self, comp, cached, x0, params):
         """Problem scaling at a starting point (reference problem.hpp:612-616)."""
-        (_i, _s, _r, _f, _run, g_fn_j, A_e_fn_j, A_i_fn_j, _ci) = cached
+        (_i, _s, _r, _f, _run, g_fn_j, A_e_fn_j, A_i_fn_j, _ci, _b) = cached
         xj, pj = jnp.asarray(x0), jnp.asarray(params)
         g0 = np.asarray(g_fn_j(xj, pj))
         A_e0 = np.asarray(A_e_fn_j(xj, pj))
@@ -703,6 +734,7 @@ class Problem:
             A_e_fn_j,
             A_i_fn_j,
             ci_raw_j,
+            backend,
         ) = cached
 
         # Scaling at the starting point (reference problem.hpp:612-616)
@@ -756,7 +788,7 @@ class Problem:
             step,
             options,
             callbacks=callbacks,
-            info_fn=self._ipm_info,
+            info_fn=lambda st: self._ipm_info(st, backend),
             restoration_handler=restoration_handler,
             start_time=start_time,
             runner=runner,
@@ -766,7 +798,8 @@ class Problem:
         return ExitStatus(int(state.status)), np.asarray(state.x)
 
     @staticmethod
-    def _ipm_info(state) -> IterationInfo:
+    def _ipm_info(state, backend) -> IterationInfo:
+        H, A_e, A_i = backend.dense(state.derivs)
         return IterationInfo(
             iteration=int(state.iterations),
             x=np.asarray(state.x),
@@ -774,9 +807,9 @@ class Problem:
             y=np.asarray(state.y),
             z=np.asarray(state.z),
             g=np.asarray(state.g),
-            H=np.asarray(state.H),
-            A_e=np.asarray(state.A_e),
-            A_i=np.asarray(state.A_i),
+            H=np.asarray(H),
+            A_e=np.asarray(A_e),
+            A_i=np.asarray(A_i),
         )
 
 

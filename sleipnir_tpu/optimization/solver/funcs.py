@@ -36,6 +36,8 @@ class _Bound:
     """
 
     def __init__(self, funcs, params, scaling) -> None:
+        self.params = params
+        self.scaling = scaling
         for name in funcs._fields:
             value = getattr(funcs, name)
             if callable(value):

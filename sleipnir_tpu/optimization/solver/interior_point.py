@@ -41,19 +41,14 @@ from sleipnir_tpu.optimization.solver.util.filter import (
     reset_filter,
     try_add,
 )
+from sleipnir_tpu.optimization.solver.kkt_backend import DenseBackend
 from sleipnir_tpu.optimization.solver.util.kkt_error import (
-    kkt_error_ipm_inf,
-    kkt_error_ipm_one,
-    unscaled_kkt_error_ipm,
-)
-from sleipnir_tpu.optimization.solver.util.regularized_ldlt import (
-    regularized_ldlt,
-    regularized_solve,
+    kkt_error_ipm_inf_products,
+    kkt_error_ipm_one_products,
+    unscaled_kkt_error_ipm_products,
 )
 from sleipnir_tpu.optimization.solver.util.step_rules import (
     fraction_to_the_boundary,
-    is_equality_locally_infeasible,
-    is_inequality_locally_infeasible,
 )
 
 # Constants from the reference
@@ -88,9 +83,9 @@ class IPMState(NamedTuple):
     c_e: jnp.ndarray
     c_i: jnp.ndarray
     g: jnp.ndarray
-    H: jnp.ndarray
-    A_e: jnp.ndarray
-    A_i: jnp.ndarray
+    #: Backend-specific derivative storage (dense H/A_e/A_i arrays or
+    #: per-stage banded blocks).
+    derivs: object
     E0: jnp.ndarray
     filt: FilterState
     prev_delta: jnp.ndarray
@@ -126,18 +121,24 @@ def make_interior_point(
     *,
     in_feasibility_restoration: bool = False,
     stop_check: Callable | None = None,
+    backend=None,
 ):
-    """Build (init, step) for the IPM on a fixed problem shape.
+    """Build (init, step, resume) for the IPM on a fixed problem shape.
 
     `stop_check(state) -> bool` is the jit-compatible analog of the
     reference's iteration callbacks that can request a stop — used by
     feasibility restoration's early-exit check
     (reference interior_point.hpp:738-756).
+
+    `backend` selects the KKT backend (kkt_backend.DenseBackend by default;
+    kkt_banded.BandedBackend for direct-transcription OCP structure).
     """
     n = funcs.num_decision_variables
     me = funcs.num_equality_constraints
     mi = funcs.num_inequality_constraints
     dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
+    if backend is None:
+        backend = DenseBackend(n, me, mi, dtype)
     tol = options.tolerance
     # Constraint regularization is forced to zero in feasibility restoration
     # because A_e can't be rank-deficient there (reference :350-352).
@@ -162,24 +163,28 @@ def make_interior_point(
         z0 = jnp.asarray(z0, dtype)
         f = F.f(x0)
         g = F.g(x0)
-        H = F.H(x0, y0, z0)
         c_e = F.c_e(x0)
-        A_e = F.A_e(x0)
         c_i = F.c_i(x0)
-        A_i = F.A_i(x0)
+        derivs = backend.eval_derivs(F, x0, y0, z0)
 
         finite = (
             jnp.isfinite(f)
             & jnp.all(jnp.isfinite(g))
-            & jnp.all(jnp.isfinite(H))
             & jnp.all(jnp.isfinite(c_e))
-            & jnp.all(jnp.isfinite(A_e))
             & jnp.all(jnp.isfinite(c_i))
-            & jnp.all(jnp.isfinite(A_i))
+            & backend.all_finite(derivs)
         )
 
-        E0 = unscaled_kkt_error_ipm(
-            scaling, g, A_e, c_e, A_i, c_i, s0, y0, z0,
+        E0 = unscaled_kkt_error_ipm_products(
+            scaling,
+            g,
+            backend.AeT(derivs, y0),
+            backend.AiT(derivs, z0),
+            c_e,
+            c_i,
+            s0,
+            y0,
+            z0,
             jnp.asarray(0.0, dtype),
         )
 
@@ -205,9 +210,7 @@ def make_interior_point(
             c_e=c_e,
             c_i=c_i,
             g=g,
-            H=H,
-            A_e=A_e,
-            A_i=A_i,
+            derivs=derivs,
             E0=E0,
             filt=make_filter(viol(c_e, c_i, s0), dtype),
             prev_delta=jnp.asarray(0.0, dtype),
@@ -234,12 +237,12 @@ def make_interior_point(
         after an accepted step or a restoration return
         (reference :808-862)."""
         F = bind(funcs, st.params, st.scaling)
-        Ae1 = F.A_e(x1)
-        Ai1 = F.A_i(x1)
         g1 = F.g(x1)
-        H1 = F.H(x1, y1, z1)
-        E0 = unscaled_kkt_error_ipm(
-            st.scaling, g1, Ae1, ce1, Ai1, ci1, s1, y1, z1,
+        derivs1 = backend.eval_derivs(F, x1, y1, z1)
+        AeT_y1 = backend.AeT(derivs1, y1)
+        AiT_z1 = backend.AiT(derivs1, z1)
+        E0 = unscaled_kkt_error_ipm_products(
+            st.scaling, g1, AeT_y1, AiT_z1, ce1, ci1, s1, y1, z1,
             jnp.asarray(0.0, dtype),
         )
 
@@ -248,7 +251,9 @@ def make_interior_point(
 
         def mu_cond(carry):
             mu_c, _tau_c, _filt_c = carry
-            E_mu = kkt_error_ipm_inf(g1, Ae1, ce1, Ai1, ci1, s1, y1, z1, mu_c)
+            E_mu = kkt_error_ipm_inf_products(
+                g1, AeT_y1, AiT_z1, ce1, ci1, s1, y1, z1, mu_c
+            )
             return (mu_c > mu_min) & (E_mu <= KAPPA_EPSILON * mu_c)
 
         def mu_body(carry):
@@ -286,9 +291,7 @@ def make_interior_point(
             c_e=ce1,
             c_i=ci1,
             g=g1,
-            H=H1,
-            A_e=Ae1,
-            A_i=Ai1,
+            derivs=derivs1,
             E0=E0,
             filt=filt1,
             iterations=iterations,
@@ -336,39 +339,35 @@ def make_interior_point(
         x, s, y, z = st.x, st.s, st.y, st.z
         mu, tau = st.mu, st.tau
         f, c_e, c_i = st.f, st.c_e, st.c_i
-        g, H, A_e, A_i = st.g, st.H, st.A_e, st.A_i
+        g, derivs = st.g, st.derivs
 
         # Σ = S⁻¹Z (reference :423-426)
         sigma = z / s if mi > 0 else s
 
-        # lhs = [H + AᵢᵀΣAᵢ  Aₑᵀ; Aₑ  0] (reference :428-440)
-        top_left = H + (A_i.T @ (sigma[:, None] * A_i) if mi > 0 else 0.0)
-        lhs = jnp.zeros((n + me, n + me), dtype)
-        lhs = lhs.at[:n, :n].set(top_left)
-        if me > 0:
-            lhs = lhs.at[:n, n:].set(A_e.T)
-            lhs = lhs.at[n:, :n].set(A_e)
-
         # rhs = −[∇f − Aₑᵀy − Aᵢᵀ(−Σcᵢ + μS⁻¹e + z); cₑ] (reference :442-448)
         rhs_top = -g
         if me > 0:
-            rhs_top = rhs_top + A_e.T @ y
+            rhs_top = rhs_top + backend.AeT(derivs, y)
         if mi > 0:
-            rhs_top = rhs_top + A_i.T @ (-sigma * c_i + mu / s + z)
-        rhs = jnp.concatenate([rhs_top, -c_e])
+            rhs_top = rhs_top + backend.AiT(
+                derivs, -sigma * c_i + mu / s + z
+            )
 
-        fac = regularized_ldlt(lhs, n, me, st.prev_delta, gamma_min)
+        # Assemble + factor [H + AᵢᵀΣAᵢ, Aₑᵀ; Aₑ, 0] with inertia
+        # correction (reference :428-465) — dense or block-tridiagonal
+        # depending on the backend.
+        fac = backend.factor(derivs, sigma, st.prev_delta, gamma_min)
 
-        def compute_step(rhs_vec, c_i_minus_s):
+        def compute_step(rhs_top_vec, rhs_bottom_vec, c_i_minus_s):
             """Newton-KKT solve + slack/dual recovery (reference :470-481)."""
-            p = regularized_solve(fac, rhs_vec)
-            p_x = p[:n]
-            p_y = -p[n:]
-            p_s = c_i_minus_s + (A_i @ p_x if mi > 0 else c_i_minus_s * 0.0)
+            p_x, p_y = backend.solve(fac, rhs_top_vec, rhs_bottom_vec)
+            p_s = c_i_minus_s + (
+                backend.Ai(derivs, p_x) if mi > 0 else c_i_minus_s * 0.0
+            )
             p_z = mu / s - z - sigma * p_s if mi > 0 else p_s
             return p_x, p_s, p_y, p_z
 
-        p_x, p_s, p_y, p_z = compute_step(rhs, c_i - s)
+        p_x, p_s, p_y, p_z = compute_step(rhs_top, -c_e, c_i - s)
 
         # Fraction-to-the-boundary (reference :487-497)
         alpha_max = fraction_to_the_boundary(s, p_s, tau)
@@ -458,11 +457,14 @@ def make_interior_point(
                 cims_soc = sc.a * sc.cims_soc + sc.tci - sc.ts
                 rhs_top2 = -g
                 if me > 0:
-                    rhs_top2 = rhs_top2 + A_e.T @ y
+                    rhs_top2 = rhs_top2 + backend.AeT(derivs, y)
                 if mi > 0:
-                    rhs_top2 = rhs_top2 + A_i.T @ (mu / s - sigma * cims_soc)
-                rhs2 = jnp.concatenate([rhs_top2, -ce_soc])
-                px2, ps2, py2, pz2 = compute_step(rhs2, cims_soc)
+                    rhs_top2 = rhs_top2 + backend.AiT(
+                        derivs, mu / s - sigma * cims_soc
+                    )
+                px2, ps2, py2, pz2 = compute_step(
+                    rhs_top2, -ce_soc, cims_soc
+                )
                 a2 = fraction_to_the_boundary(s, ps2, tau)
                 az2 = fraction_to_the_boundary(z, pz2, tau)
                 tx2 = x + a2 * px2
@@ -566,8 +568,16 @@ def make_interior_point(
 
             # KKT-error-reduction fallback at minimum step (reference :691-716)
             def kkt_fallback(_):
-                cur_err = kkt_error_ipm_one(
-                    g, A_e, c_e, A_i, c_i, s, y, z, mu
+                cur_err = kkt_error_ipm_one_products(
+                    g,
+                    backend.AeT(derivs, y),
+                    backend.AiT(derivs, z),
+                    c_e,
+                    c_i,
+                    s,
+                    y,
+                    z,
+                    mu,
                 )
                 tx3 = x + alpha_max * c.p_x
                 ts3 = s + alpha_max * c.p_s
@@ -576,11 +586,12 @@ def make_interior_point(
                 tf3 = F.f(tx3)
                 tce3 = F.c_e(tx3)
                 tci3 = F.c_i(tx3)
-                next_err = kkt_error_ipm_one(
+                derivs3 = backend.eval_derivs(F, tx3, ty3, tz3)
+                next_err = kkt_error_ipm_one_products(
                     F.g(tx3),
-                    F.A_e(tx3),
+                    backend.AeT(derivs3, ty3),
+                    backend.AiT(derivs3, tz3),
                     tce3,
-                    F.A_i(tx3),
                     tci3,
                     ts3,
                     ty3,
@@ -783,9 +794,21 @@ def make_interior_point(
     # -- full step with iteration-top checks -------------------------------
 
     def step(st: IPMState) -> IPMState:
-        # Local infeasibility and divergence checks (reference :387-408)
-        eq_infeasible = is_equality_locally_infeasible(st.A_e, st.c_e)
-        ineq_infeasible = is_inequality_locally_infeasible(st.A_i, st.c_i)
+        # Local infeasibility and divergence checks (reference :387-408
+        # and solver/util/is_locally_infeasible.hpp:18-61)
+        if me > 0:
+            eq_infeasible = (
+                jnp.linalg.norm(backend.AeT(st.derivs, st.c_e)) < 1e-6
+            ) & (jnp.linalg.norm(st.c_e) > 1e-2)
+        else:
+            eq_infeasible = jnp.asarray(False)
+        if mi > 0:
+            c_i_plus = jnp.minimum(st.c_i, 0.0)
+            ineq_infeasible = (
+                jnp.linalg.norm(backend.AiT(st.derivs, c_i_plus)) < 1e-6
+            ) & (jnp.linalg.norm(c_i_plus) > 1e-6)
+        else:
+            ineq_infeasible = jnp.asarray(False)
         diverging = (
             (jnp.max(jnp.abs(st.x), initial=0.0) > DIVERGENCE_LIMIT)
             | ~jnp.all(jnp.isfinite(st.x))
@@ -815,15 +838,3 @@ def make_interior_point(
         )
 
     return init, step, resume
-
-
-def initial_ipm_vars(funcs: IPMFunctions, x0: np.ndarray, dtype):
-    """Default starting point s=1, y=0, z=1, μ = 0.1·d_f
-    (reference interior_point.hpp:74-87)."""
-    mi = funcs.num_inequality_constraints
-    me = funcs.num_equality_constraints
-    s = np.ones(mi)
-    y = np.zeros(me)
-    z = np.ones(mi)
-    mu = 0.1 * float(funcs.scaling.f)
-    return s, y, z, mu

@@ -1,0 +1,263 @@
+"""KKT backends: how derivatives are stored and the Newton-KKT system is
+factored/solved.
+
+The interior-point and SQP solvers are generic over this seam (the TPU
+analog of the reference's sparse-vs-dense RegularizedLDLT facade,
+reference solver/util/regularized_ldlt.hpp:19-136):
+
+  - DenseBackend: dense (n,n)/(m,n) derivative arrays and the blocked dense
+    LDLᵀ. Right for small/irregular problems (the reference's dense path,
+    fill ≥ 25%: reference interior_point.hpp:340-348).
+  - BandedBackend (kkt_banded.py): per-stage derivative blocks extracted
+    with O(stage-width) colored JVP/HVP probes and a block-tridiagonal
+    factorization — O(N) time/memory in the horizon length for
+    direct-transcription OCPs (SURVEY.md §7 step 3).
+
+Both run the same δ/γ inertia-correction escalation
+(reference solver/util/sparse_regularized_ldlt.hpp:104-151) via
+`regularization_loop`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+class RegLoopResult(NamedTuple):
+    fac: object  # backend-specific factor pytree
+    delta: jnp.ndarray
+    gamma: jnp.ndarray
+    ok: jnp.ndarray
+
+
+def regularization_loop(
+    factor_with: Callable,
+    ideal_pos: int,
+    ideal_neg: int,
+    prev_delta,
+    gamma_min: float,
+    dtype,
+) -> RegLoopResult:
+    """Shared inertia-correction escalation
+    (reference sparse_regularized_ldlt.hpp:64-151).
+
+    `factor_with(delta, gamma)` returns (fac, pos, neg, zero, failed) where
+    fac is any pytree of arrays.
+    """
+    eps = float(np.finfo(np.dtype(dtype)).eps)
+
+    fac0, pos0, neg0, zero0, failed0 = factor_with(
+        jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)
+    )
+    unregularized_ok = (
+        (pos0 == ideal_pos)
+        & (neg0 == ideal_neg)
+        & (zero0 == 0)
+        & ~failed0
+    )
+
+    delta0 = jnp.where(
+        prev_delta == 0.0,
+        jnp.asarray(1e-4, dtype),
+        jnp.maximum(prev_delta / 2.0, eps),
+    )
+    gamma0 = jnp.asarray(gamma_min, dtype)
+
+    class Carry(NamedTuple):
+        fac: object
+        delta: jnp.ndarray
+        gamma: jnp.ndarray
+        done: jnp.ndarray
+        failed: jnp.ndarray
+
+    def cond(c: Carry):
+        return ~(c.done | c.failed)
+
+    def body(c: Carry):
+        fac, pos, neg, zero, failed_factor = factor_with(c.delta, c.gamma)
+        ideal = (
+            (pos == ideal_pos) & (neg == ideal_neg) & (zero == 0)
+            & ~failed_factor
+        )
+        has_zero = (zero > 0) & ~failed_factor
+        too_negative = (neg > ideal_neg) & ~failed_factor & ~has_zero
+        too_positive = (
+            (pos > ideal_pos) & ~failed_factor & ~has_zero & ~too_negative
+        )
+        gamma_zero = c.gamma == 0.0
+        new_delta = jnp.where(
+            ideal,
+            c.delta,
+            jnp.where(
+                has_zero,
+                jnp.where(gamma_zero, c.delta, c.delta * 10.0),
+                jnp.where(
+                    too_negative,
+                    c.delta * 10.0,
+                    jnp.where(too_positive, c.delta, c.delta * 10.0),
+                ),
+            ),
+        )
+        new_gamma = jnp.where(
+            ideal,
+            c.gamma,
+            jnp.where(
+                has_zero,
+                jnp.where(gamma_zero, jnp.asarray(1e-10, dtype), c.gamma * 10.0),
+                jnp.where(
+                    too_negative,
+                    c.gamma,
+                    jnp.where(
+                        gamma_zero, jnp.asarray(1e-10, dtype), c.gamma * 10.0
+                    ),
+                ),
+            ),
+        )
+        overflow = (new_delta > 1e20) | (new_gamma > 1e20)
+        return Carry(
+            fac=jax.tree.map(
+                lambda a, b: jnp.where(ideal, a, b), fac, c.fac
+            ),
+            delta=jnp.where(ideal, c.delta, new_delta),
+            gamma=jnp.where(ideal, c.gamma, new_gamma),
+            done=ideal,
+            failed=overflow & ~ideal,
+        )
+
+    init = Carry(
+        fac=fac0,
+        delta=delta0,
+        gamma=gamma0,
+        done=jnp.asarray(False),
+        failed=jnp.asarray(False),
+    )
+    out = lax.while_loop(cond, body, init)
+
+    fac = jax.tree.map(
+        lambda a, b: jnp.where(unregularized_ok, a, b), fac0, out.fac
+    )
+    delta = jnp.where(unregularized_ok, 0.0, out.delta)
+    gamma = jnp.where(unregularized_ok, 0.0, out.gamma)
+    ok = unregularized_ok | out.done
+    return RegLoopResult(fac=fac, delta=delta, gamma=gamma, ok=ok)
+
+
+# ---------------------------------------------------------------------------
+# Dense backend
+# ---------------------------------------------------------------------------
+
+
+class DenseDerivs(NamedTuple):
+    """Scaled dense derivative matrices."""
+
+    H: jnp.ndarray  # (n, n)
+    A_e: jnp.ndarray  # (me, n)
+    A_i: jnp.ndarray  # (mi, n)
+
+
+class DenseFactor(NamedTuple):
+    L: jnp.ndarray
+    d: jnp.ndarray
+    delta: jnp.ndarray
+    gamma: jnp.ndarray
+    ok: jnp.ndarray
+
+
+class DenseBackend:
+    """Dense derivative storage + blocked dense LDLᵀ (the default)."""
+
+    def __init__(self, n: int, me: int, mi: int, dtype) -> None:
+        self.n = n
+        self.me = me
+        self.mi = mi
+        self.dtype = dtype
+
+    # -- derivative evaluation --------------------------------------------
+
+    def eval_derivs(self, F, x, y, z) -> DenseDerivs:
+        return DenseDerivs(
+            H=F.H(x, y, z), A_e=F.A_e(x), A_i=F.A_i(x)
+        )
+
+    def all_finite(self, d: DenseDerivs):
+        return (
+            jnp.all(jnp.isfinite(d.H))
+            & jnp.all(jnp.isfinite(d.A_e))
+            & jnp.all(jnp.isfinite(d.A_i))
+        )
+
+    # -- matvecs -----------------------------------------------------------
+
+    def AeT(self, d: DenseDerivs, v):
+        return d.A_e.T @ v if self.me > 0 else jnp.zeros((self.n,), self.dtype)
+
+    def Ae(self, d: DenseDerivs, v):
+        return d.A_e @ v
+
+    def AiT(self, d: DenseDerivs, v):
+        return d.A_i.T @ v if self.mi > 0 else jnp.zeros((self.n,), self.dtype)
+
+    def Ai(self, d: DenseDerivs, v):
+        return d.A_i @ v
+
+    # -- factorization -----------------------------------------------------
+
+    def factor(self, d: DenseDerivs, sigma, prev_delta, gamma_min):
+        """Assemble [H + AᵢᵀΣAᵢ, Aₑᵀ; Aₑ, −γI] and factor with inertia
+        correction (reference interior_point.hpp:426-465)."""
+        from sleipnir_tpu.ops.ldlt import inertia, ldlt_factor  # noqa: PLC0415
+
+        n, me, mi = self.n, self.me, self.mi
+        eps = float(np.finfo(np.dtype(self.dtype)).eps)
+        top_left = d.H + (
+            d.A_i.T @ (sigma[:, None] * d.A_i) if mi > 0 else 0.0
+        )
+        lhs = jnp.zeros((n + me, n + me), self.dtype)
+        lhs = lhs.at[:n, :n].set(top_left)
+        if me > 0:
+            lhs = lhs.at[:n, n:].set(d.A_e.T)
+            lhs = lhs.at[n:, :n].set(d.A_e)
+        reg_pos = jnp.concatenate(
+            [jnp.ones((n,), self.dtype), jnp.zeros((me,), self.dtype)]
+        )
+        reg_neg = jnp.concatenate(
+            [jnp.zeros((n,), self.dtype), -jnp.ones((me,), self.dtype)]
+        )
+
+        def factor_with(delta, gamma):
+            L, dd = ldlt_factor(
+                lhs + jnp.diag(delta * reg_pos + gamma * reg_neg)
+            )
+            pos, neg, zero = inertia(dd, eps)
+            # The unregularized attempt additionally requires pivots away
+            # from zero (reference sparse_regularized_ldlt.hpp:82-83)
+            small = jnp.any(jnp.abs(dd) < 1e-4) & (delta == 0.0) & (
+                gamma == 0.0
+            )
+            failed = ~jnp.all(jnp.isfinite(dd)) | small
+            return (L, dd), pos, neg, zero, failed
+
+        out = regularization_loop(
+            factor_with, n, me, prev_delta, gamma_min, self.dtype
+        )
+        L, dd = out.fac
+        return DenseFactor(
+            L=L, d=dd, delta=out.delta, gamma=out.gamma, ok=out.ok
+        )
+
+    def solve(self, fac: DenseFactor, rhs_top, rhs_bottom):
+        """Solve for (p_x, p_y): [·][pˣ; −pʸ] = [rhs_top; rhs_bottom]."""
+        from sleipnir_tpu.ops.ldlt import ldlt_solve  # noqa: PLC0415
+
+        p = ldlt_solve(fac.L, fac.d, jnp.concatenate([rhs_top, rhs_bottom]))
+        return p[: self.n], -p[self.n :]
+
+    # -- observability -----------------------------------------------------
+
+    def dense(self, d: DenseDerivs):
+        return d.H, d.A_e, d.A_i

@@ -1,0 +1,394 @@
+"""Block-tridiagonal (banded) KKT backend for direct-transcription OCPs.
+
+The TPU-native replacement for sparse LDLT on trajectory problems
+(SURVEY.md §7 step 3; the reference instead relies on Eigen SimplicialLDLT
+with AMD ordering to keep the banded factorization near-linear in the
+horizon, reference solver/util/sparse_regularized_ldlt.hpp:64-75 and
+SURVEY.md §5 "Long-context").
+
+Variables are ordered by stage zₖ = (xₖ, uₖ); equality-constraint rows are
+assigned to the stage they're anchored at, padded to a uniform count per
+stage (padded rows carry a fixed −1 pivot so the expected inertia stays
+exact). The reduced KKT matrix is then block tridiagonal and factors with
+ops.block_tridiag in O(N·w³) time and O(N·w²) memory.
+
+Derivatives are never materialized densely. Banded blocks are extracted
+with *colored* AD probes:
+  - Aₑ: 2·m JVPs of cₑ (adjacent stages alias-free under mod-2 coloring),
+  - Lagrangian Hessian: 3·m HVPs (mod-3 coloring covers the k−1/k/k+1
+    row blocks unambiguously),
+  - Aᵢ: m JVPs (each inequality row touches a single stage).
+All probes batch under vmap, so the per-iteration derivative cost is
+O(stage-width) evaluations of the constraint program instead of O(n).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sleipnir_tpu.ops.block_tridiag import (
+    block_tridiag_factor,
+    block_tridiag_inertia,
+    block_tridiag_solve,
+)
+from sleipnir_tpu.optimization.solver.kkt_backend import (
+    RegLoopResult,
+    regularization_loop,
+)
+
+
+class StageStructure(NamedTuple):
+    """Static stage metadata (host-side numpy)."""
+
+    num_stages: int  # K
+    stage_width: int  # m variables per stage
+    var_perm: np.ndarray  # (n,) staged order -> flat index
+    ce_stage: np.ndarray  # (me,) stage of each equality row
+    ce_slot: np.ndarray  # (me,) slot within the stage's padded block
+    eq_pad: int  # p: max equality rows per stage
+    ci_stage: np.ndarray  # (mi,)
+    ci_slot: np.ndarray  # (mi,)
+    ineq_pad: int  # q: max inequality rows per stage
+
+
+class BandedDerivs(NamedTuple):
+    """Per-stage scaled derivative blocks."""
+
+    Hd: jnp.ndarray  # (K, m, m) stage-diagonal Lagrangian Hessian
+    Hc: jnp.ndarray  # (K-1, m, m) coupling H[k+1, k]
+    Aloc: jnp.ndarray  # (K, p, m) eq rows of stage k wrt z_k
+    Anext: jnp.ndarray  # (K, p, m) eq rows of stage k wrt z_{k+1} (last 0)
+    Ailoc: jnp.ndarray  # (K, q, m) ineq rows of stage k wrt z_k
+
+
+class BandedFactor(NamedTuple):
+    L_diag: jnp.ndarray
+    d: jnp.ndarray
+    W: jnp.ndarray
+    delta: jnp.ndarray
+    gamma: jnp.ndarray
+    ok: jnp.ndarray
+
+
+class BandedBackend:
+    """KKT backend exploiting OCP stage structure."""
+
+    def __init__(
+        self,
+        structure: StageStructure,
+        f_raw: Callable,  # f(x, params) -> scalar (unscaled)
+        ce_raw: Callable,  # c_e(x, params) -> (me,)
+        ci_raw: Callable,  # c_i(x, params) -> (mi,)
+        n: int,
+        me: int,
+        mi: int,
+        dtype,
+    ) -> None:
+        st = structure
+        self.structure = st
+        self.n = n
+        self.me = me
+        self.mi = mi
+        self.dtype = dtype
+        self.f_raw = f_raw
+        self.ce_raw = ce_raw
+        self.ci_raw = ci_raw
+
+        K, m, p, q = st.num_stages, st.stage_width, st.eq_pad, st.ineq_pad
+        assert n == K * m, (n, K, m)
+        self.K, self.m, self.p, self.q = K, m, p, q
+        self.w = m + p
+
+        # Probe matrices (static constants)
+        staged = st.var_perm.reshape(K, m)
+        probes_e = np.zeros((2 * m, n))
+        for c in range(2):
+            for j in range(m):
+                probes_e[c * m + j, staged[np.arange(K) % 2 == c, j]] = 1.0
+        self._probes_e = jnp.asarray(probes_e)
+
+        probes_h = np.zeros((3 * m, n))
+        for c in range(3):
+            for j in range(m):
+                probes_h[c * m + j, staged[np.arange(K) % 3 == c, j]] = 1.0
+        self._probes_h = jnp.asarray(probes_h)
+
+        probes_i = np.zeros((m, n))
+        for j in range(m):
+            probes_i[j, staged[:, j]] = 1.0
+        self._probes_i = jnp.asarray(probes_i)
+
+        # Gather/scatter index constants
+        self._var_perm = jnp.asarray(st.var_perm)
+        self._kmod2 = jnp.asarray(np.arange(K) % 2)
+        self._kmod3 = jnp.asarray(np.arange(K) % 3)
+        self._ce_stage = jnp.asarray(st.ce_stage)
+        self._ce_slot = jnp.asarray(st.ce_slot)
+        self._ci_stage = jnp.asarray(st.ci_stage)
+        self._ci_slot = jnp.asarray(st.ci_slot)
+        # Real (non-pad) equality slots per stage
+        eq_count = np.zeros(K, dtype=np.int64)
+        for s_ in st.ce_stage:
+            eq_count[s_] += 1
+        slot_real = (
+            np.arange(p)[None, :] < eq_count[:, None]
+        )  # (K, p) bool
+        self._eq_slot_real = jnp.asarray(slot_real)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _stage_vec(self, v):
+        """Flat (n,) -> staged (K, m)."""
+        return v[self._var_perm].reshape(self.K, self.m)
+
+    def _unstage_vec(self, staged):
+        """Staged (K, m) -> flat (n,)."""
+        out = jnp.zeros((self.n,), staged.dtype)
+        return out.at[self._var_perm].set(staged.reshape(-1))
+
+    # -- derivative evaluation --------------------------------------------
+
+    def eval_derivs(self, F, x, y, z) -> BandedDerivs:
+        params = F.params
+        sc = F.scaling
+        K, m, p, q = self.K, self.m, self.p, self.q
+
+        # Scaled Lagrangian (constraint rows row-scaled like the reference's
+        # callbacks, problem.hpp:618-660)
+        def lag(xv):
+            out = sc.f * self.f_raw(xv, params)
+            if self.me > 0:
+                out = out - (sc.c_e * y) @ self.ce_raw(xv, params)
+            if self.mi > 0:
+                out = out - (sc.c_i * z) @ self.ci_raw(xv, params)
+            return out
+
+        grad = jax.grad(lag)
+
+        def hvp(v):
+            return jax.jvp(grad, (x,), (v,))[1]
+
+        Hv = jax.vmap(hvp)(self._probes_h)  # (3m, n)
+        HvS = jax.vmap(self._stage_vec)(Hv).reshape(3, m, K, m)
+        # Hd[k][i, j] = HvS[k%3, j, k, i]
+        k_idx = jnp.arange(K)
+        Hd = HvS[self._kmod3, :, k_idx, :]  # (K, j, i)
+        Hd = jnp.swapaxes(Hd, 1, 2)  # (K, i, j)
+        # Hc[k][i, j] = H[(k+1, i), (k, j)] = HvS[k%3, j, k+1, i]
+        if K > 1:
+            Hc = HvS[self._kmod3[:-1], :, k_idx[:-1] + 1, :]
+            Hc = jnp.swapaxes(Hc, 1, 2)
+        else:
+            Hc = jnp.zeros((0, m, m), self.dtype)
+
+        # A_e blocks via mod-2 colored JVPs
+        if self.me > 0:
+            def jvp_e(v):
+                return jax.jvp(
+                    lambda xv: sc.c_e * self.ce_raw(xv, params), (x,), (v,)
+                )[1]
+
+            Ue = jax.vmap(jvp_e)(self._probes_e)  # (2m, me)
+            r_idx = jnp.arange(self.me)
+            j_idx = jnp.arange(m)
+            # local columns: probe (s%2)*m + j
+            loc_p = (self._ce_stage % 2)[:, None] * m + j_idx[None, :]
+            rows_loc = Ue[loc_p, r_idx[:, None]]  # (me, m)
+            next_p = ((self._ce_stage + 1) % 2)[:, None] * m + j_idx[None, :]
+            rows_next = Ue[next_p, r_idx[:, None]]
+            Aloc = jnp.zeros((K, p, m), self.dtype).at[
+                self._ce_stage, self._ce_slot
+            ].set(rows_loc)
+            Anext = jnp.zeros((K, p, m), self.dtype).at[
+                self._ce_stage, self._ce_slot
+            ].set(rows_next)
+        else:
+            Aloc = jnp.zeros((K, p, m), self.dtype)
+            Anext = jnp.zeros((K, p, m), self.dtype)
+
+        # A_i blocks (single-stage rows)
+        if self.mi > 0:
+            def jvp_i(v):
+                return jax.jvp(
+                    lambda xv: sc.c_i * self.ci_raw(xv, params), (x,), (v,)
+                )[1]
+
+            Ui = jax.vmap(jvp_i)(self._probes_i)  # (m, mi)
+            rows_i = Ui.T  # (mi, m)
+            Ailoc = jnp.zeros((K, q, m), self.dtype).at[
+                self._ci_stage, self._ci_slot
+            ].set(rows_i)
+        else:
+            Ailoc = jnp.zeros((K, q, m), self.dtype)
+
+        return BandedDerivs(Hd=Hd, Hc=Hc, Aloc=Aloc, Anext=Anext, Ailoc=Ailoc)
+
+    def all_finite(self, d: BandedDerivs):
+        return (
+            jnp.all(jnp.isfinite(d.Hd))
+            & jnp.all(jnp.isfinite(d.Hc))
+            & jnp.all(jnp.isfinite(d.Aloc))
+            & jnp.all(jnp.isfinite(d.Anext))
+            & jnp.all(jnp.isfinite(d.Ailoc))
+        )
+
+    # -- matvecs -----------------------------------------------------------
+
+    def _stage_eq(self, v):
+        """(me,) -> (K, p) padded per-stage layout."""
+        out = jnp.zeros((self.K, self.p), v.dtype)
+        return out.at[self._ce_stage, self._ce_slot].set(v)
+
+    def _stage_ineq(self, v):
+        out = jnp.zeros((self.K, self.q), v.dtype)
+        return out.at[self._ci_stage, self._ci_slot].set(v)
+
+    def AeT(self, d: BandedDerivs, v):
+        if self.me == 0:
+            return jnp.zeros((self.n,), self.dtype)
+        vs = self._stage_eq(v)  # (K, p)
+        t1 = jnp.einsum("kpm,kp->km", d.Aloc, vs)
+        t2 = jnp.einsum("kpm,kp->km", d.Anext, vs)
+        out = t1.at[1:].add(t2[:-1])
+        return self._unstage_vec(out)
+
+    def Ae(self, d: BandedDerivs, u):
+        us = self._stage_vec(u)  # (K, m)
+        u_next = jnp.concatenate(
+            [us[1:], jnp.zeros((1, self.m), us.dtype)], axis=0
+        )
+        r = jnp.einsum("kpm,km->kp", d.Aloc, us) + jnp.einsum(
+            "kpm,km->kp", d.Anext, u_next
+        )
+        return r[self._ce_stage, self._ce_slot]
+
+    def AiT(self, d: BandedDerivs, v):
+        if self.mi == 0:
+            return jnp.zeros((self.n,), self.dtype)
+        vs = self._stage_ineq(v)
+        out = jnp.einsum("kqm,kq->km", d.Ailoc, vs)
+        return self._unstage_vec(out)
+
+    def Ai(self, d: BandedDerivs, u):
+        us = self._stage_vec(u)
+        r = jnp.einsum("kqm,km->kq", d.Ailoc, us)
+        return r[self._ci_stage, self._ci_slot]
+
+    # -- factorization -----------------------------------------------------
+
+    def factor(self, d: BandedDerivs, sigma, prev_delta, gamma_min):
+        K, m, p, q, w = self.K, self.m, self.p, self.q, self.w
+        eps = float(np.finfo(np.dtype(self.dtype)).eps)
+
+        # AᵢᵀΣAᵢ per stage
+        if self.mi > 0:
+            sig_st = self._stage_ineq(sigma)  # (K, q)
+            AiTSAi = jnp.einsum(
+                "kqm,kq,kqn->kmn", d.Ailoc, sig_st, d.Ailoc
+            )
+        else:
+            AiTSAi = jnp.zeros((K, m, m), self.dtype)
+
+        top_left = d.Hd + AiTSAi
+        eye_m = jnp.eye(m, dtype=self.dtype)
+        slot_real = self._eq_slot_real  # (K, p)
+
+        E = jnp.zeros((max(K - 1, 0), w, w), self.dtype)
+        if K > 1:
+            E = E.at[:, :m, :m].set(d.Hc)
+            E = E.at[:, :m, m:].set(jnp.swapaxes(d.Anext[:-1], 1, 2))
+
+        def factor_with(delta, gamma):
+            D = jnp.zeros((K, w, w), self.dtype)
+            D = D.at[:, :m, :m].set(top_left + delta * eye_m[None])
+            D = D.at[:, :m, m:].set(jnp.swapaxes(d.Aloc, 1, 2))
+            D = D.at[:, m:, :m].set(d.Aloc)
+            # Real equality slots get −γ; padded slots a fixed −1 pivot
+            diag_vals = jnp.where(slot_real, -gamma, -1.0)
+            idx = jnp.arange(m, w)
+            D = D.at[:, idx, idx].set(diag_vals)
+            fac = block_tridiag_factor(D, E)
+            pos, neg, zero = block_tridiag_inertia(fac, eps)
+            small = (
+                jnp.any(jnp.abs(fac.d) < 1e-4)
+                & (delta == 0.0)
+                & (gamma == 0.0)
+            )
+            failed = ~jnp.all(jnp.isfinite(fac.d)) | small
+            return (
+                (fac.L_diag, fac.d, fac.W),
+                pos,
+                neg,
+                zero,
+                failed,
+            )
+
+        ideal_pos = self.n
+        ideal_neg = K * p
+        out: RegLoopResult = regularization_loop(
+            factor_with, ideal_pos, ideal_neg, prev_delta, gamma_min,
+            self.dtype,
+        )
+        L_diag, dd, W = out.fac
+        return BandedFactor(
+            L_diag=L_diag, d=dd, W=W,
+            delta=out.delta, gamma=out.gamma, ok=out.ok,
+        )
+
+    def solve(self, fac: BandedFactor, rhs_top, rhs_bottom):
+        from sleipnir_tpu.ops.block_tridiag import (  # noqa: PLC0415
+            BlockTridiagFactor,
+        )
+
+        b = jnp.zeros((self.K, self.w), self.dtype)
+        b = b.at[:, : self.m].set(self._stage_vec(rhs_top))
+        if self.me > 0:
+            b = b.at[
+                self._ce_stage, self.m + self._ce_slot
+            ].set(rhs_bottom)
+        sol = block_tridiag_solve(
+            BlockTridiagFactor(L_diag=fac.L_diag, d=fac.d, W=fac.W), b
+        )
+        p_x = self._unstage_vec(sol[:, : self.m])
+        p_y = (
+            -sol[self._ce_stage, self.m + self._ce_slot]
+            if self.me > 0
+            else jnp.zeros((0,), self.dtype)
+        )
+        return p_x, p_y
+
+    # -- observability -----------------------------------------------------
+
+    def dense(self, d: BandedDerivs):
+        """Reconstruct dense H/A_e/A_i (observed/spy paths only)."""
+        K, m = self.K, self.m
+        n, me, mi = self.n, self.me, self.mi
+        Hd = np.asarray(d.Hd)
+        Hc = np.asarray(d.Hc)
+        perm = np.asarray(self.structure.var_perm)
+        H = np.zeros((n, n))
+        for k in range(K):
+            vk = perm.reshape(K, m)[k]
+            H[np.ix_(vk, vk)] = Hd[k]
+            if k + 1 < K:
+                vk1 = perm.reshape(K, m)[k + 1]
+                H[np.ix_(vk1, vk)] = Hc[k]
+                H[np.ix_(vk, vk1)] = Hc[k].T
+        A_e = np.zeros((me, n))
+        Aloc = np.asarray(d.Aloc)
+        Anext = np.asarray(d.Anext)
+        for r in range(me):
+            s_, sl = self.structure.ce_stage[r], self.structure.ce_slot[r]
+            A_e[r, perm.reshape(K, m)[s_]] = Aloc[s_, sl]
+            if s_ + 1 < K:
+                A_e[r, perm.reshape(K, m)[s_ + 1]] = Anext[s_, sl]
+        A_i = np.zeros((mi, n))
+        Ailoc = np.asarray(d.Ailoc)
+        for r in range(mi):
+            s_, sl = self.structure.ci_stage[r], self.structure.ci_slot[r]
+            A_i[r, perm.reshape(K, m)[s_]] = Ailoc[s_, sl]
+        return H, A_e, A_i
