@@ -538,15 +538,26 @@ class CompiledEval:
     def gather_params(self) -> np.ndarray:
         return _registry.get(self.param_ids)
 
-    def _leaf_gather(self, e: DecVarExpr) -> np.ndarray:
+    def _leaf_gather(self, e: DecVarExpr):
+        """Index plan for a leaf: ('slice', start, size, shape) when the
+        leaf's positions are contiguous ascending (the common case — one
+        lax.slice instead of a gather, which is both faster and avoids
+        gather-transpose paths in higher-order AD), else ('gather', idx)."""
         key = id(e)
-        idx = self._leaf_index.get(key)
-        if idx is None:
+        plan = self._leaf_index.get(key)
+        if plan is None:
             idx = np.vectorize(self._pos.__getitem__, otypes=[np.int64])(
                 e.ids
             ) if e.ids.size else np.zeros(e.ids.shape, dtype=np.int64)
-            self._leaf_index[key] = idx
-        return idx
+            flat = idx.ravel()
+            if flat.size and np.array_equal(
+                flat, np.arange(flat[0], flat[0] + flat.size)
+            ):
+                plan = ("slice", int(flat[0]), int(flat.size), idx.shape)
+            else:
+                plan = ("gather", idx)
+            self._leaf_index[key] = plan
+        return plan
 
     def __call__(self, x, params, xp=None):
         """Evaluate all expressions. Traceable by JAX when x/params are
@@ -568,7 +579,12 @@ class CompiledEval:
             if isinstance(e, ConstExpr):
                 v = xp.asarray(e.value)
             elif isinstance(e, DecVarExpr):
-                v = combined[self._leaf_gather(e)]
+                plan = self._leaf_gather(e)
+                if plan[0] == "slice":
+                    _, start, size, shape = plan
+                    v = combined[start : start + size].reshape(shape)
+                else:
+                    v = combined[plan[1]]
             else:
                 vals = [rec(a) for a in e.args]
                 v = _EVAL[e.op](xp, e.static, *vals)
