@@ -48,6 +48,8 @@ from sleipnir_tpu.autodiff import (  # noqa: E402
     hypot,
     log,
     log10,
+    max,  # noqa: A004
+    min,  # noqa: A004
     pow,  # noqa: A004
     sign,
     sin,
@@ -108,6 +110,8 @@ __all__ = [
     "hypot",
     "log",
     "log10",
+    "max",
+    "min",
     "multistart",
     "pow",
     "sign",

@@ -68,15 +68,20 @@ def _value_expr(v) -> Expr:
     raise TypeError(f"expected Variable or VariableMatrix, got {type(v)}")
 
 
-class _LazyValue:
-    """Adapter returned by .get(): re-evaluates on .value(), mirroring the
-    reference's symbolic Jacobian `get()` (reference jacobian.hpp:113-129)."""
-
-    def __init__(self, fn) -> None:
-        self._fn = fn
-
-    def value(self) -> np.ndarray:
-        return self._fn()
+def _symbolic(expr, wrt_ids, kind):
+    """Symbolic derivative as a VariableMatrix (reference `get()` returning
+    expression-valued derivatives, jacobian.hpp:113-129) — usable in further
+    costs/constraints like the reference's gradient_tree output."""
+    leaf = ex.DecVarExpr(np.asarray(wrt_ids, dtype=np.int64).reshape(-1))
+    if kind == "grad":
+        node = ex.grad_of(expr, leaf)
+        node = ex.reshape(node, (leaf.ids.size, 1))
+    elif kind == "jac":
+        node = ex.jac_of(expr, leaf)
+    else:  # hessian: Jacobian of the symbolic gradient
+        g = ex.grad_of(expr, leaf)
+        node = ex.jac_of(g, leaf)
+    return VariableMatrix._from_expr(node)
 
 
 class Gradient:
@@ -88,7 +93,8 @@ class Gradient:
 
     def __init__(self, variable, wrt) -> None:
         self._wrt_ids = _wrt_ids(wrt)
-        self._compiled = CompiledEval([_value_expr(variable)], self._wrt_ids)
+        self._expr = _value_expr(variable)
+        self._compiled = CompiledEval([self._expr], self._wrt_ids)
 
         def scalar_fn(x, params):
             (v,) = self._compiled(x, params)
@@ -102,8 +108,10 @@ class Gradient:
         g = np.asarray(self._grad(x, params))
         return g.reshape(-1, 1)
 
-    def get(self) -> _LazyValue:
-        return _LazyValue(self.value)
+    def get(self) -> VariableMatrix:
+        return _symbolic(
+            ex.reshape(self._expr, ()), self._wrt_ids, "grad"
+        )
 
 
 class Jacobian:
@@ -112,6 +120,7 @@ class Jacobian:
     def __init__(self, variables, wrt) -> None:
         self._wrt_ids = _wrt_ids(wrt)
         expr = _value_expr(variables)
+        self._expr = expr
         self._m = expr.size
         self._compiled = CompiledEval([expr], self._wrt_ids)
         n = self._wrt_ids.shape[0]
@@ -130,8 +139,8 @@ class Jacobian:
             self._m, self._wrt_ids.shape[0]
         )
 
-    def get(self) -> _LazyValue:
-        return _LazyValue(self.value)
+    def get(self) -> VariableMatrix:
+        return _symbolic(self._expr, self._wrt_ids, "jac")
 
 
 class Hessian:
@@ -139,7 +148,8 @@ class Hessian:
 
     def __init__(self, variable, wrt) -> None:
         self._wrt_ids = _wrt_ids(wrt)
-        self._compiled = CompiledEval([_value_expr(variable)], self._wrt_ids)
+        self._expr = _value_expr(variable)
+        self._compiled = CompiledEval([self._expr], self._wrt_ids)
 
         def scalar_fn(x, params):
             (v,) = self._compiled(x, params)
@@ -153,5 +163,7 @@ class Hessian:
         n = self._wrt_ids.shape[0]
         return np.asarray(self._hess(x, params)).reshape(n, n)
 
-    def get(self) -> _LazyValue:
-        return _LazyValue(self.value)
+    def get(self) -> VariableMatrix:
+        return _symbolic(
+            ex.reshape(self._expr, ()), self._wrt_ids, "hessian"
+        )

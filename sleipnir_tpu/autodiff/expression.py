@@ -107,6 +107,33 @@ class DecVarExpr(Expr):
         self.lin = ExpressionType.LINEAR
 
 
+class ParamExpr(DecVarExpr):
+    """A mutable constant leaf: participates in linearity classification as
+    CONSTANT but is never folded, and its value feeds the compiled program
+    as a runtime parameter.
+
+    This is the clean version of the reference's "suppress constant
+    pruning" workflow (reference docs/usage.md:391-410, and the
+    Variable(inf)-then-set_value trick in
+    examples/current_manager/current_manager.py) — re-solving after
+    set_value needs no recompilation.
+    """
+
+    __slots__ = ()
+
+    def __init__(self, ids: np.ndarray) -> None:
+        super().__init__(ids)
+        self.lin = ExpressionType.CONSTANT
+
+
+def new_parameter(value) -> ParamExpr:
+    """Create a mutable-constant (parameter) leaf holding `value`."""
+    arr = np.asarray(value, dtype=np.float64)
+    ids = _registry.new_ids(arr.size).reshape(arr.shape)
+    _registry.set(ids, arr)
+    return ParamExpr(ids)
+
+
 class OpExpr(Expr):
     """An operation applied to child expressions."""
 
@@ -179,6 +206,39 @@ def _setblock(xp, static, base, value):
     return base.at[key].set(value)
 
 
+def _ge_solve(xp, a, b):
+    """Partial-pivot Gaussian elimination for small systems.
+
+    Dtype-generic replacement for xp.linalg.solve: XLA's LuDecomposition
+    only supports f32 on TPU, and the reference likewise special-cases
+    small systems with adjugate inverses
+    (reference variable_matrix.hpp:1516 solve()).
+    """
+    n = a.shape[0]
+    if n > 16:
+        return xp.linalg.solve(a, b)
+    if b.ndim == 1:
+        b = b.reshape(n, 1)
+    if xp is np:
+        return np.linalg.solve(a, b)
+    import jax.numpy as jnp  # noqa: PLC0415
+
+    A = jnp.concatenate([a, b], axis=1)
+    for k in range(n):
+        piv = jnp.argmax(jnp.abs(A[k:, k])) + k
+        row_piv = A[piv]
+        row_k = A[k]
+        A = A.at[k].set(row_piv).at[piv].set(row_k)
+        if k + 1 < n:
+            factor = A[k + 1 :, k] / A[k, k]
+            A = A.at[k + 1 :].add(-factor[:, None] * A[k][None, :])
+    m = b.shape[1]
+    x = jnp.zeros((n, m), a.dtype)
+    for k in reversed(range(n)):
+        x = x.at[k].set((A[k, n:] - A[k, k + 1 : n] @ x[k + 1 :]) / A[k, k])
+    return x
+
+
 def _getitem(xp, static, v):
     rs, cs, outshape = static
     if v.ndim == 0:
@@ -227,7 +287,7 @@ _EVAL: dict[str, Callable] = {
     "hstack": lambda xp, s, *args: xp.concatenate(
         [xp.atleast_2d(a) for a in args], axis=1
     ),
-    "solve": lambda xp, s, a, b: xp.linalg.solve(a, b),
+    "solve": lambda xp, s, a, b: _ge_solve(xp, a, b),
     "expm": lambda xp, s, a: _expm(xp, a),
     "sum": lambda xp, s, a: xp.sum(a),
 }
@@ -451,6 +511,29 @@ def sum_all(a: Expr) -> Expr:
     return make_op("sum", (a,), shape=(), lin=a.lin)
 
 
+def grad_of(of: Expr, wrt: "DecVarExpr") -> Expr:
+    """Symbolic gradient node: d(of)/d(wrt) as an expression usable in
+    further costs/constraints (the analog of the reference's
+    expression-valued gradient_tree, reference variable_matrix.hpp:1757,
+    used e.g. by examples/frc_2024_shooter/main.py's sensitivity cost).
+
+    Evaluates via jax.grad of the sub-DAG, so it nests (gradients of
+    gradients) and differentiates (Hessians of costs containing it).
+    """
+    assert of.shape == (), "grad_of needs a scalar expression"
+    assert isinstance(wrt, DecVarExpr)
+    shape = wrt.shape if wrt.shape else ()
+    return OpExpr("grad", (of, wrt), (), shape, ExpressionType.NONLINEAR)
+
+
+def jac_of(of: Expr, wrt: "DecVarExpr") -> Expr:
+    """Symbolic Jacobian node: rows are gradients of `of`'s elements."""
+    assert isinstance(wrt, DecVarExpr)
+    m = of.size
+    n = wrt.ids.size
+    return OpExpr("jac", (of, wrt), (), (m, n), ExpressionType.NONLINEAR)
+
+
 # ---------------------------------------------------------------------------
 # Evaluation and compilation
 # ---------------------------------------------------------------------------
@@ -494,6 +577,8 @@ def evaluate(expr: Expr, xp=np, cache: dict | None = None):
             v = e.value
         elif isinstance(e, DecVarExpr):
             v = _registry.get(e.ids)
+        elif isinstance(e, OpExpr) and e.op in ("grad", "jac"):
+            v = _eval_symbolic_derivative_host(e)
         else:
             vals = [rec(a) for a in e.args]
             v = _EVAL[e.op](xp, e.static, *vals)
@@ -501,6 +586,27 @@ def evaluate(expr: Expr, xp=np, cache: dict | None = None):
         return v
 
     return rec(expr)
+
+
+def _eval_symbolic_derivative_host(e: "OpExpr"):
+    """Evaluate a grad/jac node at current registry values (host path)."""
+    import jax  # noqa: PLC0415
+    import jax.numpy as jnp  # noqa: PLC0415
+
+    of, wrt = e.args
+    wrt_ids = wrt.ids.ravel()
+    compiled = CompiledEval([of], wrt_ids)
+
+    def fn(x):
+        (v,) = compiled(x, jnp.asarray(compiled.gather_params()))
+        return jnp.reshape(v, (-1,)) if e.op == "jac" else jnp.reshape(v, ())
+
+    x0 = jnp.asarray(_registry.get(wrt_ids))
+    if e.op == "grad":
+        out = jax.grad(fn)(x0)
+        return np.asarray(out).reshape(e.shape)
+    out = jax.jacfwd(fn)(x0)
+    return np.asarray(out).reshape(e.shape)
 
 
 class CompiledEval:
@@ -585,6 +691,8 @@ class CompiledEval:
                     v = combined[start : start + size].reshape(shape)
                 else:
                     v = combined[plan[1]]
+            elif isinstance(e, OpExpr) and e.op in ("grad", "jac"):
+                v = self._symbolic_derivative(e, combined, xp)
             else:
                 vals = [rec(a) for a in e.args]
                 v = _EVAL[e.op](xp, e.static, *vals)
@@ -592,6 +700,65 @@ class CompiledEval:
             return v
 
         return tuple(rec(e) for e in self.exprs)
+
+    def _symbolic_derivative(self, e: OpExpr, combined, xp):
+        """Evaluate a grad/jac node inside a trace: differentiate the
+        sub-DAG wrt the referenced *variables* (any leaf sharing those ids
+        sees the overridden values), nesting and further differentiation
+        included."""
+        import jax  # noqa: PLC0415
+        import jax.numpy as jnp  # noqa: PLC0415
+
+        of, wrt = e.args
+        wrt_ids = wrt.ids.ravel()
+        wrt_pos = np.array(
+            [self._pos[int(g)] for g in wrt_ids], dtype=np.int64
+        )
+
+        def inner(wvals):
+            combined2 = combined.at[wrt_pos].set(wvals) if xp is not np else (
+                _np_set(combined, wrt_pos, wvals)
+            )
+            cache2: dict[int, object] = {}
+
+            def rec2(e2: Expr):
+                key2 = id(e2)
+                if key2 in cache2:
+                    return cache2[key2]
+                if isinstance(e2, ConstExpr):
+                    v2 = xp.asarray(e2.value)
+                elif isinstance(e2, DecVarExpr):
+                    plan = self._leaf_gather(e2)
+                    if plan[0] == "slice":
+                        _, start, size, shape = plan
+                        v2 = combined2[start : start + size].reshape(shape)
+                    else:
+                        v2 = combined2[plan[1]]
+                elif isinstance(e2, OpExpr) and e2.op in ("grad", "jac"):
+                    v2 = self._symbolic_derivative(e2, combined2, xp)
+                else:
+                    vals2 = [rec2(a) for a in e2.args]
+                    v2 = _EVAL[e2.op](xp, e2.static, *vals2)
+                cache2[key2] = v2
+                return v2
+
+            out = rec2(of)
+            return (
+                jnp.reshape(out, (-1,))
+                if e.op == "jac"
+                else jnp.reshape(out, ())
+            )
+
+        cur = combined[wrt_pos]
+        if e.op == "grad":
+            return jax.grad(inner)(cur).reshape(e.shape)
+        return jax.jacfwd(inner)(cur).reshape(e.shape)
+
+
+def _np_set(arr, idx, vals):
+    out = np.array(arr)
+    out[idx] = vals
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -54,7 +54,10 @@ class Variable:
         elif isinstance(value, Variable):
             self._expr = value._expr
         elif isinstance(value, _NUMBER_TYPES):
-            self._expr = ex.constant(float(value))
+            # A mutable constant leaf (reference Variable{Scalar} makes a
+            # constant node whose value set_value can still change); pure
+            # literals inside expressions still fold.
+            self._expr = ex.new_parameter(float(value))
         else:
             raise TypeError(f"cannot construct Variable from {type(value)}")
 
