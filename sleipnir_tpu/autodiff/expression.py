@@ -390,6 +390,11 @@ def pow_const(a: Expr, power: float) -> Expr:
         return a
     if power == 0:
         return ConstExpr(np.ones(a.shape))
+    # Integral exponents use jnp's integer_pow (repeated multiplication):
+    # float exponents lower to exp(p·ln x) on TPU f64, whose higher-order
+    # derivatives produce exp(0·ln 0) = NaN at x = 0.
+    if float(power).is_integer():
+        power = int(power)
     return make_op(
         "pow_const", (a,), static=(power,), shape=a.shape, lin=pow_type(a.lin, power)
     )
@@ -677,6 +682,14 @@ class CompiledEval:
              xp.asarray(params, dtype=xp.float64).ravel()]
         )
         cache: dict[int, object] = {}
+        return tuple(
+            self.eval_expr(e, combined, xp, cache) for e in self.exprs
+        )
+
+    def eval_expr(self, e: Expr, combined, xp, cache: dict | None = None):
+        """Evaluate one expression against a combined [x, params] vector."""
+        if cache is None:
+            cache = {}
 
         def rec(e: Expr):
             key = id(e)
@@ -699,7 +712,7 @@ class CompiledEval:
             cache[key] = v
             return v
 
-        return tuple(rec(e) for e in self.exprs)
+        return rec(e)
 
     def _symbolic_derivative(self, e: OpExpr, combined, xp):
         """Evaluate a grad/jac node inside a trace: differentiate the

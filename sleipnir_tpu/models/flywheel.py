@@ -28,31 +28,37 @@ def flywheel_problem(N: int = 1000, total_time: float = 5.0, fast: bool = True):
     B = 1.0 - math.exp(-dt)
     r = 10.0
 
+    if fast:
+        # OCP formulation: discrete linear dynamics as one vmapped block,
+        # solved with the block-tridiagonal KKT backend.
+        def discrete(x, u):
+            return A * x + B * u
+
+        ocp = slp.OCP(
+            1,
+            1,
+            dt,
+            N,
+            discrete,
+            slp.DynamicsType.DISCRETE,
+            slp.TimestepMethod.FIXED,
+            slp.TranscriptionMethod.DIRECT_TRANSCRIPTION,
+        )
+        X = ocp.X()
+        U = ocp.U()
+        ocp.constrain_initial_state(0.0)
+        ocp.subject_to(U >= -12.0)
+        ocp.subject_to(U <= 12.0)
+        err = r - X
+        ocp.minimize((err**2).sum())
+        return ocp, X, U
+
     problem = slp.Problem()
     X = problem.decision_variable(1, N + 1)
     U = problem.decision_variable(1, N)
 
-    if fast:
-        # One vmapped functional block for all N dynamics rows
-        import jax  # noqa: PLC0415
-        import jax.numpy as jnp  # noqa: PLC0415
-
-        x_off = 0
-        u_off = N + 1
-
-        def block_fn(xflat):
-            Xv = xflat[x_off : x_off + N + 1]
-            Uv = xflat[u_off : u_off + N]
-            return A * Xv[:-1] + B * Uv - Xv[1:]
-
-        problem._subject_to_fn(
-            block_fn, N, slp.ExpressionType.LINEAR, equality=True
-        )
-    else:
-        for k in range(N):
-            problem.subject_to(
-                X[0, k + 1] == A * X[0, k] + B * U[0, k]
-            )
+    for k in range(N):
+        problem.subject_to(X[0, k + 1] == A * X[0, k] + B * U[0, k])
 
     problem.subject_to(X[0, 0] == 0.0)
     problem.subject_to(U >= -12.0)

@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.scipy.linalg import solve_triangular
 
@@ -116,3 +117,161 @@ def block_tridiag_inertia(fac: BlockTridiagFactor, eps: float):
     negative = jnp.sum(d < -eps)
     zero = d.size - positive - negative
     return positive, negative, zero
+
+
+# ---------------------------------------------------------------------------
+# Block cyclic reduction: the parallel factorization
+# ---------------------------------------------------------------------------
+
+
+class BCRLevel(NamedTuple):
+    Lo: jnp.ndarray  # (M, w, w) LDLT factors of eliminated odd blocks
+    do: jnp.ndarray  # (M, w)
+    X: jnp.ndarray  # (M, w, w) D_odd⁻¹ E_left
+    Y: jnp.ndarray  # (M, w, w) D_odd⁻¹ E_rightᵀ
+    Eleft: jnp.ndarray  # (M, w, w)
+    Eright: jnp.ndarray  # (M, w, w)
+
+
+class BCRFactor(NamedTuple):
+    levels: tuple  # of BCRLevel, finest to coarsest
+    final: BlockTridiagFactor  # Thomas factor of the coarsest (≤2) blocks
+
+
+def _bcr_padded_blocks(fac: BCRFactor) -> int:
+    """Static padded block count, inferred from the level shapes."""
+    if not fac.levels:
+        return fac.final.d.shape[0]
+    return 2 * fac.levels[0].do.shape[0] + 1
+
+
+def _batched_ldlt_solve(L, d, B):
+    """Solve (L diag(d) Lᵀ) X = B batched over the leading axis."""
+    def one(Lk, dk, Bk):
+        y = solve_triangular(Lk, Bk, lower=True)
+        y = y / jnp.where(dk == 0.0, 1.0, dk)[:, None]
+        return solve_triangular(Lk.T, y, lower=False)
+
+    return jax.vmap(one)(L, d, B)
+
+
+def bcr_factor(D: jnp.ndarray, E: jnp.ndarray) -> BCRFactor:
+    """Block cyclic reduction factorization of a block-tridiagonal matrix.
+
+    log₂(N) levels; each level eliminates all odd-indexed blocks with one
+    batch of small LDLᵀs, two batched triangular solves, and batched
+    matmuls — depth-log parallelism for the TPU instead of the sequential
+    block-Thomas scan. Eliminated pivots expose the exact inertia (block
+    Gaussian elimination is a symmetric congruence), and padding blocks are
+    identity so their +w pivots are accounted exactly.
+    """
+    nblocks, w, _ = D.shape
+    if nblocks <= 2:
+        return BCRFactor(levels=(), final=block_tridiag_factor(D, E))
+    # Pad to 2^L + 1 blocks with identity diagonals / zero couplings; each
+    # level reduces 2^l + 1 -> 2^(l-1) + 1, ending at a 2-block system.
+    L_levels = int(np.ceil(np.log2(nblocks - 1)))
+    P = 2**L_levels + 1
+    pad = P - nblocks
+    if pad:
+        D = jnp.concatenate(
+            [D, jnp.broadcast_to(jnp.eye(w, dtype=D.dtype), (pad, w, w))]
+        )
+        E = jnp.concatenate([E, jnp.zeros((P - 1 - E.shape[0], w, w), D.dtype)])
+
+    levels = []
+    while D.shape[0] >= 3:
+        Dodd = D[1::2]
+        Eleft = E[0::2]
+        Eright = E[1::2]
+        Lo, do = jax.vmap(_ldlt_unblocked)(Dodd)
+        X = _batched_ldlt_solve(Lo, do, Eleft)
+        Y = _batched_ldlt_solve(Lo, do, jnp.swapaxes(Eright, 1, 2))
+
+        Dnew = D[0::2]
+        # Right odd neighbor: D'_{2k} -= E_{2k}ᵀ X_k for k < M
+        Dnew = Dnew.at[:-1].add(-jnp.einsum("kba,kbc->kac", Eleft, X))
+        # Left odd neighbor: D'_{2k} -= E_{2k-1} Y_{k-1} for k >= 1
+        Dnew = Dnew.at[1:].add(-jnp.einsum("kab,kbc->kac", Eright, Y))
+        Enew = -jnp.einsum("kab,kbc->kac", Eright, X)
+
+        levels.append(
+            BCRLevel(Lo=Lo, do=do, X=X, Y=Y, Eleft=Eleft, Eright=Eright)
+        )
+        D, E = Dnew, Enew
+
+    return BCRFactor(levels=tuple(levels), final=block_tridiag_factor(D, E))
+
+
+def bcr_solve(fac: BCRFactor, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve with a bcr_factor result; b is (N, w)."""
+    w = b.shape[1]
+    nblocks = b.shape[0]
+    pad = _bcr_padded_blocks(fac) - nblocks
+    if pad:
+        b = jnp.concatenate([b, jnp.zeros((pad, w), b.dtype)])
+
+    # Forward reduction
+    b_stack = [b]
+    for lv in fac.levels:
+        b_odd = b[1::2]
+        z = jax.vmap(
+            lambda Lk, dk, bk: solve_triangular(
+                Lk.T,
+                solve_triangular(Lk, bk, lower=True)
+                / jnp.where(dk == 0.0, 1.0, dk),
+                lower=False,
+            )
+        )(lv.Lo, lv.do, b_odd)
+        bnew = b[0::2]
+        bnew = bnew.at[:-1].add(
+            -jnp.einsum("kba,kb->ka", lv.Eleft, z)
+        )
+        bnew = bnew.at[1:].add(-jnp.einsum("kab,kb->ka", lv.Eright, z))
+        b = bnew
+        b_stack.append(b)
+
+    # Coarsest solve (≤2 blocks, Thomas)
+    x = block_tridiag_solve(fac.final, b)
+
+    # Back substitution
+    for lv, b_l in zip(reversed(fac.levels), reversed(b_stack[:-1])):
+        b_odd = b_l[1::2]
+        z = jax.vmap(
+            lambda Lk, dk, bk: solve_triangular(
+                Lk.T,
+                solve_triangular(Lk, bk, lower=True)
+                / jnp.where(dk == 0.0, 1.0, dk),
+                lower=False,
+            )
+        )(lv.Lo, lv.do, b_odd)
+        # x_odd_k = z_k − X_k x_even[k] − Y_k x_even[k+1]
+        x_odd = (
+            z
+            - jnp.einsum("kab,kb->ka", lv.X, x[:-1])
+            - jnp.einsum("kab,kb->ka", lv.Y, x[1:])
+        )
+        P_next = x.shape[0] + x_odd.shape[0]
+        out = jnp.zeros((P_next, w), x.dtype)
+        out = out.at[0::2].set(x)
+        out = out.at[1::2].set(x_odd)
+        x = out
+
+    return x[:nblocks]
+
+
+def bcr_inertia(fac: BCRFactor, eps: float, num_blocks: int):
+    """Inertia from all eliminated pivots plus the coarsest factor, minus
+    the identity padding's known +1 pivots."""
+    pos = jnp.sum(fac.final.d > eps)
+    neg = jnp.sum(fac.final.d < -eps)
+    total = fac.final.d.size
+    for lv in fac.levels:
+        pos = pos + jnp.sum(lv.do > eps)
+        neg = neg + jnp.sum(lv.do < -eps)
+        total += lv.do.size
+    w = fac.final.d.shape[-1]
+    pad_pos = (_bcr_padded_blocks(fac) - num_blocks) * w
+    pos = pos - pad_pos
+    zero = (total - pad_pos) - pos - neg
+    return pos, neg, zero

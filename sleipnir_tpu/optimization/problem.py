@@ -213,7 +213,44 @@ class Problem:
         return np.concatenate(self._var_ids)
 
     def _compile(self):
-        """Compile f, c_e, c_i into (x, params) -> value JAX functions."""
+        """Compile f, c_e, c_i into (x, params) -> value JAX functions,
+        batching isomorphic loop-built blocks (see autodiff/vectorize.py)."""
+        from sleipnir_tpu.autodiff.vectorize import BlockCompiler  # noqa: PLC0415
+
+        all_ids = self._all_ids()
+        f_expr = self._f if self._f is not None else ConstExpr(0.0)
+        bc = BlockCompiler(
+            f_expr, self._equality, self._inequality, all_ids
+        )
+
+        def rows_of(blocks) -> int:
+            return sum(
+                b.rows if isinstance(b, _FnBlock) else b.size for b in blocks
+            )
+
+        def row_linearity(blocks) -> np.ndarray:
+            out = []
+            for b in blocks:
+                rows = b.rows if isinstance(b, _FnBlock) else b.size
+                out.extend([b.lin] * rows)
+            return np.array(
+                [t == ExpressionType.LINEAR for t in out], dtype=bool
+            )
+
+        return {
+            "compiled": bc,
+            "all_ids": all_ids,
+            "n": int(all_ids.shape[0]),
+            "me": rows_of(self._equality),
+            "mi": rows_of(self._inequality),
+            "f": bc.f,
+            "c_e": bc.c_e,
+            "c_i": bc.c_i,
+            "ineq_row_linear": row_linearity(self._inequality),
+        }
+
+    def _compile_unbatched(self):
+        """Previous per-block compilation path (kept for debugging)."""
         all_ids = self._all_ids()
         f_expr = self._f if self._f is not None else ConstExpr(0.0)
         expr_blocks = [f_expr]

@@ -31,6 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from sleipnir_tpu.ops.block_tridiag import (
+    bcr_factor,
+    bcr_inertia,
+    bcr_solve,
     block_tridiag_factor,
     block_tridiag_inertia,
     block_tridiag_solve,
@@ -66,12 +69,15 @@ class BandedDerivs(NamedTuple):
 
 
 class BandedFactor(NamedTuple):
-    L_diag: jnp.ndarray
-    d: jnp.ndarray
-    W: jnp.ndarray
+    fac: object  # BlockTridiagFactor (sequential) or BCRFactor (parallel)
     delta: jnp.ndarray
     gamma: jnp.ndarray
     ok: jnp.ndarray
+
+
+#: Use parallel block cyclic reduction above this stage count; below it the
+#: sequential block-Thomas scan has less overhead.
+BCR_THRESHOLD = 32
 
 
 class BandedBackend:
@@ -97,6 +103,7 @@ class BandedBackend:
         self.f_raw = f_raw
         self.ce_raw = ce_raw
         self.ci_raw = ci_raw
+        self.use_bcr = structure.num_stages >= BCR_THRESHOLD
 
         K, m, p, q = st.num_stages, st.stage_width, st.eq_pad, st.ineq_pad
         assert n == K * m, (n, K, m)
@@ -311,21 +318,22 @@ class BandedBackend:
             diag_vals = jnp.where(slot_real, -gamma, -1.0)
             idx = jnp.arange(m, w)
             D = D.at[:, idx, idx].set(diag_vals)
-            fac = block_tridiag_factor(D, E)
-            pos, neg, zero = block_tridiag_inertia(fac, eps)
-            small = (
-                jnp.any(jnp.abs(fac.d) < 1e-4)
-                & (delta == 0.0)
-                & (gamma == 0.0)
-            )
-            failed = ~jnp.all(jnp.isfinite(fac.d)) | small
-            return (
-                (fac.L_diag, fac.d, fac.W),
-                pos,
-                neg,
-                zero,
-                failed,
-            )
+            if self.use_bcr:
+                fac = bcr_factor(D, E)
+                pos, neg, zero = bcr_inertia(fac, eps, K)
+                pivots = [fac.final.d] + [lv.do for lv in fac.levels]
+            else:
+                fac = block_tridiag_factor(D, E)
+                pos, neg, zero = block_tridiag_inertia(fac, eps)
+                pivots = [fac.d]
+            small_any = jnp.asarray(False)
+            finite = jnp.asarray(True)
+            for pv in pivots:
+                small_any = small_any | jnp.any(jnp.abs(pv) < 1e-4)
+                finite = finite & jnp.all(jnp.isfinite(pv))
+            small = (delta == 0.0) & (gamma == 0.0) & small_any
+            failed = ~finite | small
+            return fac, pos, neg, zero, failed
 
         ideal_pos = self.n
         ideal_neg = K * p
@@ -333,26 +341,21 @@ class BandedBackend:
             factor_with, ideal_pos, ideal_neg, prev_delta, gamma_min,
             self.dtype,
         )
-        L_diag, dd, W = out.fac
         return BandedFactor(
-            L_diag=L_diag, d=dd, W=W,
-            delta=out.delta, gamma=out.gamma, ok=out.ok,
+            fac=out.fac, delta=out.delta, gamma=out.gamma, ok=out.ok
         )
 
     def solve(self, fac: BandedFactor, rhs_top, rhs_bottom):
-        from sleipnir_tpu.ops.block_tridiag import (  # noqa: PLC0415
-            BlockTridiagFactor,
-        )
-
         b = jnp.zeros((self.K, self.w), self.dtype)
         b = b.at[:, : self.m].set(self._stage_vec(rhs_top))
         if self.me > 0:
             b = b.at[
                 self._ce_stage, self.m + self._ce_slot
             ].set(rhs_bottom)
-        sol = block_tridiag_solve(
-            BlockTridiagFactor(L_diag=fac.L_diag, d=fac.d, W=fac.W), b
-        )
+        if self.use_bcr:
+            sol = bcr_solve(fac.fac, b)
+        else:
+            sol = block_tridiag_solve(fac.fac, b)
         p_x = self._unstage_vec(sol[:, : self.m])
         p_y = (
             -sol[self._ce_stage, self.m + self._ce_slot]
