@@ -75,9 +75,15 @@ class BandedFactor(NamedTuple):
     ok: jnp.ndarray
 
 
-#: Use parallel block cyclic reduction above this stage count; below it the
-#: sequential block-Thomas scan has less overhead.
-BCR_THRESHOLD = 32
+def _use_bcr(num_stages: int) -> bool:
+    """Parallel block cyclic reduction pays off on accelerators, where the
+    sequential scan is latency-bound; on CPU the scan's lower flop count
+    wins at every size measured."""
+    import jax  # noqa: PLC0415
+
+    if jax.default_backend() == "cpu":
+        return False
+    return num_stages >= 32
 
 
 class BandedBackend:
@@ -103,7 +109,7 @@ class BandedBackend:
         self.f_raw = f_raw
         self.ce_raw = ce_raw
         self.ci_raw = ci_raw
-        self.use_bcr = structure.num_stages >= BCR_THRESHOLD
+        self.use_bcr = _use_bcr(structure.num_stages)
 
         K, m, p, q = st.num_stages, st.stage_width, st.eq_pad, st.ineq_pad
         assert n == K * m, (n, K, m)
