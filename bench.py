@@ -27,6 +27,11 @@ SLEIPNIR_BASELINE_MS = 278.113
 def main() -> None:
     import jax
 
+    # Persistent compilation cache: amortizes the (slow) TPU compile across
+    # benchmark invocations.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from sleipnir_tpu.models.cart_pole import cart_pole_problem
     from sleipnir_tpu import ExitStatus
 

@@ -32,24 +32,45 @@ from sleipnir_tpu.autodiff.expression import (
 MIN_GROUP = 4
 
 
-def _signature(e: Expr, memo: dict) -> tuple:
+class SigInterner:
+    """Interns structural signatures to small integers so DAGs with heavy
+    sharing (e.g. single-shooting RK4 chains) hash in O(nodes), not
+    O(expanded tree)."""
+
+    def __init__(self) -> None:
+        self._table: dict = {}
+        self.special: set[int] = set()
+
+    def intern(self, key, special: bool) -> int:
+        sid = self._table.get(key)
+        if sid is None:
+            sid = len(self._table)
+            self._table[key] = sid
+            if special:
+                self.special.add(sid)
+        return sid
+
+
+def _signature(e: Expr, memo: dict, interner: SigInterner) -> int:
     key = id(e)
     sig = memo.get(key)
     if sig is None:
         if isinstance(e, ConstExpr):
-            sig = ("c", e.shape)
+            sig = interner.intern(("c", e.shape), False)
         elif isinstance(e, DecVarExpr):
-            sig = ("v", e.shape)
+            sig = interner.intern(("v", e.shape), False)
         else:
             assert isinstance(e, OpExpr)
             if e.op in ("grad", "jac"):
-                sig = ("special", id(e))
+                sig = interner.intern(("special", id(e)), True)
             else:
-                sig = (
-                    e.op,
-                    _hashable(e.static),
-                    e.shape,
-                    tuple(_signature(a, memo) for a in e.args),
+                child_sigs = tuple(
+                    _signature(a, memo, interner) for a in e.args
+                )
+                special = any(c in interner.special for c in child_sigs)
+                sig = interner.intern(
+                    (e.op, _hashable(e.static), e.shape, child_sigs),
+                    special,
                 )
         memo[key] = sig
     return sig
@@ -64,14 +85,6 @@ def _hashable(static):
         return v
 
     return conv(static)
-
-
-def _contains_special(sig) -> bool:
-    if isinstance(sig, tuple):
-        if len(sig) and sig[0] == "special":
-            return True
-        return any(_contains_special(s) for s in sig)
-    return False
 
 
 def _collect_leaves(e: Expr, seen: set, out: list) -> None:
@@ -215,6 +228,8 @@ class BlockCompiler:
                 all_exprs.append(entry)
         self.compiled = CompiledEval(all_exprs, wrt_ids)
         pos = self.compiled._pos
+        interner = SigInterner()
+        sig_memo: dict = {}
 
         # -- cost: flatten the Σ-chain and group isomorphic terms ----------
         terms: list = []
@@ -223,10 +238,10 @@ class BlockCompiler:
         self._cost_groups: list = []  # (signs (k,), _Group)
         by_sig: dict = {}
         for sign, term in terms:
-            sig = _signature(term, {})
+            sig = _signature(term, sig_memo, interner)
             by_sig.setdefault(sig, []).append((sign, term))
         for sig, items in by_sig.items():
-            if len(items) < MIN_GROUP or _contains_special(sig):
+            if len(items) < MIN_GROUP or sig in interner.special:
                 self._cost_singles.extend(items)
                 continue
             exprs = [t for _s, t in items]
@@ -238,12 +253,16 @@ class BlockCompiler:
                 self._cost_groups.append((signs, grp))
 
         # -- constraints ---------------------------------------------------
-        self._eq = self._plan_blocks(self.eq_entries, pos)
-        self._ineq = self._plan_blocks(self.ineq_entries, pos)
+        self._eq = self._plan_blocks(
+            self.eq_entries, pos, interner, sig_memo
+        )
+        self._ineq = self._plan_blocks(
+            self.ineq_entries, pos, interner, sig_memo
+        )
 
     # -- planning ----------------------------------------------------------
 
-    def _plan_blocks(self, entries, pos):
+    def _plan_blocks(self, entries, pos, interner, sig_memo):
         """Returns (parts, perm, total_rows): parts are ('fn', fn) /
         ('single', expr) / ('group', _Group); perm reorders the
         concatenated part outputs back to declaration order."""
@@ -260,8 +279,8 @@ class BlockCompiler:
         by_sig: dict = {}
         for i, entry in enumerate(entries):
             if isinstance(entry, Expr):
-                sig = _signature(entry, {})
-                if _contains_special(sig):
+                sig = _signature(entry, sig_memo, interner)
+                if sig in interner.special:
                     sig = ("special", i)
             else:
                 sig = ("fn", i)
