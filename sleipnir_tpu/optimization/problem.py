@@ -95,6 +95,7 @@ class Problem:
         self._equality: list = []  # Expr | _FnBlock, in subject_to order
         self._inequality: list = []
         self._callbacks: list[Callable] = []
+        self._persistent_callbacks: list[Callable] = []
         self._structure_version = 0
         self._solver_cache: dict = {}
         #: Enables projection of the initial guess into detected variable
@@ -181,8 +182,19 @@ class Problem:
         (reference problem.hpp:681-730)."""
         self._callbacks.append(callback)
 
+    def add_persistent_callback(self, callback: Callable) -> None:
+        """Add a per-iteration callback that survives clear_callbacks()
+        (reference problem.hpp:728, used by language bindings for signal
+        handling)."""
+        self._persistent_callbacks.append(callback)
+
     def clear_callbacks(self) -> None:
+        """Remove non-persistent callbacks (reference problem.hpp:735)."""
         self._callbacks.clear()
+
+    @property
+    def _all_callbacks(self) -> list:
+        return self._persistent_callbacks + self._callbacks
 
     # -- classification ----------------------------------------------------
 
@@ -546,7 +558,7 @@ class Problem:
             state,
             step,
             options,
-            callbacks=self._callbacks,
+            callbacks=self._all_callbacks,
             info_fn=self._newton_info,
             start_time=start_time,
             runner=runner,
@@ -648,7 +660,7 @@ class Problem:
                 status=np.int32(int(outcome)), x=jnp.asarray(x_n)
             )
 
-        callbacks = list(self._callbacks)
+        callbacks = list(self._all_callbacks)
         if spy:
             callbacks.append(self._make_spy_callback(with_inequality=False))
         state = init(x0, pj, sc)
@@ -826,7 +838,7 @@ class Problem:
                 s=jnp.asarray(s_n),
             )
 
-        callbacks = list(self._callbacks)
+        callbacks = list(self._all_callbacks)
         if spy:
             callbacks.append(self._make_spy_callback(with_inequality=True))
         state = init(x0, s0, y0, z0, mu0, 0, pj, sc)
