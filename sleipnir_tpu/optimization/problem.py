@@ -63,6 +63,19 @@ from sleipnir_tpu.optimization.solver.util.problem_scaling import (
 )
 
 
+def _setup_eval(fn, *args):
+    """Evaluate a one-shot setup function on the host CPU backend.
+
+    Setup quantities (problem scaling, bound detection — reference
+    problem.hpp:597-616) are evaluated exactly once per solve at x0.
+    Compiling their dense Jacobians for the accelerator wastes minutes of
+    XLA compile time on a single evaluation, so they are pinned to CPU.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return np.asarray(fn(*[np.asarray(a) for a in args]))
+
+
 class _FnBlock:
     """A functional constraint block: residuals given directly as a JAX
     function of the flat decision vector (the OCP fast path — one traced
@@ -548,7 +561,7 @@ class Problem:
             self._solver_cache[key] = cached
         init, step, runner, g_fn = cached
         # Scaling at the starting point (reference problem.hpp:379-382)
-        g0 = np.asarray(g_fn(jnp.asarray(x0), jnp.asarray(params)))
+        g0 = _setup_eval(g_fn, x0, params)
         scaling = ProblemScaling.for_newton(g0)
         sc = ScalingArrays(
             f=jnp.asarray(scaling.f), c_e=jnp.zeros(0), c_i=jnp.zeros(0)
@@ -616,8 +629,8 @@ class Problem:
             self._solver_cache[key] = cached
         init, step, resume, funcs, runner, g_fn_j, A_e_fn_j = cached
         # Scaling at the starting point (reference problem.hpp:473-477)
-        g0 = np.asarray(g_fn_j(xj, pj))
-        A_e0 = np.asarray(A_e_fn_j(xj, pj))
+        g0 = _setup_eval(g_fn_j, xj, pj)
+        A_e0 = _setup_eval(A_e_fn_j, xj, pj)
         scaling = ProblemScaling.for_sqp(g0, A_e0)
         sc = ScalingArrays(
             f=jnp.asarray(scaling.f),
@@ -762,10 +775,9 @@ class Problem:
     def compute_ipm_scaling(self, comp, cached, x0, params):
         """Problem scaling at a starting point (reference problem.hpp:612-616)."""
         (_i, _s, _r, _f, _run, g_fn_j, A_e_fn_j, A_i_fn_j, _ci, _b) = cached
-        xj, pj = jnp.asarray(x0), jnp.asarray(params)
-        g0 = np.asarray(g_fn_j(xj, pj))
-        A_e0 = np.asarray(A_e_fn_j(xj, pj))
-        A_i0 = np.asarray(A_i_fn_j(xj, pj))
+        g0 = _setup_eval(g_fn_j, x0, params)
+        A_e0 = _setup_eval(A_e_fn_j, x0, params)
+        A_i0 = _setup_eval(A_i_fn_j, x0, params)
         scaling = ProblemScaling.for_ipm(g0, A_e0, A_i0)
         return scaling, A_i0
 
@@ -787,9 +799,9 @@ class Problem:
         ) = cached
 
         # Scaling at the starting point (reference problem.hpp:612-616)
-        g0 = np.asarray(g_fn_j(xj, pj))
-        A_e0 = np.asarray(A_e_fn_j(xj, pj))
-        A_i0 = np.asarray(A_i_fn_j(xj, pj))
+        g0 = _setup_eval(g_fn_j, xj, pj)
+        A_e0 = _setup_eval(A_e_fn_j, xj, pj)
+        A_i0 = _setup_eval(A_i_fn_j, xj, pj)
         scaling = ProblemScaling.for_ipm(g0, A_e0, A_i0)
         sc = ScalingArrays(
             f=jnp.asarray(scaling.f),
@@ -798,7 +810,7 @@ class Problem:
         )
 
         # Bound detection and conflict check (reference problem.hpp:597-610)
-        c_i0 = np.asarray(ci_raw_j(xj, pj))
+        c_i0 = _setup_eval(ci_raw_j, xj, pj)
         bounds = get_bounds(x0, c_i0, A_i0, comp["ineq_row_linear"])
         if bounds.conflicting_bound_indices:
             return ExitStatus.GLOBALLY_INFEASIBLE, x0
@@ -809,7 +821,7 @@ class Problem:
         s0 = np.ones(comp["mi"])
         if self.enable_bound_projection:
             # sʲ = cᵢʲ(x₀) for bound rows (reference interior_point.hpp:288-291)
-            c_i_start = np.asarray(ci_raw_j(jnp.asarray(x0), pj))
+            c_i_start = _setup_eval(ci_raw_j, x0, pj)
             mask = bounds.bound_constraint_mask
             s0[mask] = (scaling.c_i * c_i_start)[mask]
         y0 = np.zeros(comp["me"])
