@@ -39,6 +39,7 @@ from sleipnir_tpu.autodiff import (  # noqa: E402
     atan,
     atan2,
     block,
+    bounds,
     cbrt,
     cos,
     cosh,
@@ -101,6 +102,7 @@ __all__ = [
     "atan",
     "atan2",
     "block",
+    "bounds",
     "cbrt",
     "cos",
     "cosh",

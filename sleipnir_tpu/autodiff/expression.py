@@ -386,6 +386,14 @@ def matmul(a: Expr, b: Expr) -> Expr:
 
 
 def pow_const(a: Expr, power: float) -> Expr:
+    # Base pruning precedes exponent pruning, matching the reference's
+    # order (expression.hpp:1722-1728): pow(0, p) = 0 — including
+    # pow(0, 0) = 0, a deliberate deviation from IEEE pow — and
+    # pow(1, p) = 1 (expression_test.cpp:310-312).
+    if isinstance(a, ConstExpr):
+        vals = np.asarray(a.value)
+        if np.all(vals == 0.0) or np.all(vals == 1.0):
+            return a
     if power == 1:
         return a
     if power == 0:

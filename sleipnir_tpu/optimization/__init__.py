@@ -7,6 +7,7 @@ from sleipnir_tpu.autodiff.variable import (
     EqualityConstraints,
     InequalityConstraints,
 )
+from sleipnir_tpu.autodiff import bounds
 from sleipnir_tpu.optimization.multistart import MultistartResult, multistart
 from sleipnir_tpu.optimization.ocp import (
     OCP,
@@ -31,5 +32,6 @@ __all__ = [
     "Problem",
     "TimestepMethod",
     "TranscriptionMethod",
+    "bounds",
     "multistart",
 ]

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sleipnir_tpu.autodiff import expression as ex
-from sleipnir_tpu.autodiff.expression import CompiledEval, ConstExpr, Expr
+from sleipnir_tpu.autodiff.expression import ConstExpr, Expr
 from sleipnir_tpu.autodiff.expression_type import ExpressionType
 from sleipnir_tpu.autodiff.variable import (
     EqualityConstraints,
@@ -271,80 +271,6 @@ class Problem:
             "f": bc.f,
             "c_e": bc.c_e,
             "c_i": bc.c_i,
-            "ineq_row_linear": row_linearity(self._inequality),
-        }
-
-    def _compile_unbatched(self):
-        """Previous per-block compilation path (kept for debugging)."""
-        all_ids = self._all_ids()
-        f_expr = self._f if self._f is not None else ConstExpr(0.0)
-        expr_blocks = [f_expr]
-        eq_getters = []
-        for b in self._equality:
-            if isinstance(b, _FnBlock):
-                eq_getters.append(b)
-            else:
-                eq_getters.append(len(expr_blocks))
-                expr_blocks.append(b)
-        ineq_getters = []
-        for b in self._inequality:
-            if isinstance(b, _FnBlock):
-                ineq_getters.append(b)
-            else:
-                ineq_getters.append(len(expr_blocks))
-                expr_blocks.append(b)
-
-        compiled = CompiledEval(expr_blocks, all_ids)
-
-        def gather(getters, vals, x, params):
-            parts = []
-            for gtr in getters:
-                if isinstance(gtr, _FnBlock):
-                    parts.append(jnp.reshape(gtr.fn(x), (-1,)))
-                else:
-                    parts.append(jnp.reshape(vals[gtr], (-1,)))
-            if not parts:
-                return jnp.zeros((0,), x.dtype)
-            return jnp.concatenate(parts)
-
-        def f_raw(x, params):
-            vals = compiled(x, params)
-            return jnp.reshape(vals[0], ())
-
-        def c_e_raw(x, params):
-            vals = compiled(x, params)
-            return gather(eq_getters, vals, x, params)
-
-        def c_i_raw(x, params):
-            vals = compiled(x, params)
-            return gather(ineq_getters, vals, x, params)
-
-        def rows_of(blocks) -> int:
-            return sum(
-                b.rows if isinstance(b, _FnBlock) else b.size for b in blocks
-            )
-
-        me = rows_of(self._equality)
-        mi = rows_of(self._inequality)
-
-        def row_linearity(blocks) -> np.ndarray:
-            out = []
-            for b in blocks:
-                rows = b.rows if isinstance(b, _FnBlock) else b.size
-                out.extend([b.lin] * rows)
-            return np.array(
-                [t == ExpressionType.LINEAR for t in out], dtype=bool
-            )
-
-        return {
-            "compiled": compiled,
-            "all_ids": all_ids,
-            "n": int(all_ids.shape[0]),
-            "me": me,
-            "mi": mi,
-            "f": f_raw,
-            "c_e": c_e_raw,
-            "c_i": c_i_raw,
             "ineq_row_linear": row_linearity(self._inequality),
         }
 

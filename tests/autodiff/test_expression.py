@@ -121,7 +121,9 @@ def test_prune_binary_functions(op, a, b, expected):
 
 
 def test_prune_pow():
-    assert is_constant(ex.pow_expr(zero, zero), 1)  # 0^0 = 1 (IEEE pow)
+    # Base pruning first, matching reference expression.hpp:1722-1724 and
+    # expression_test.cpp:310: pow(0, 0) folds to 0, not IEEE pow's 1.
+    assert is_constant(ex.pow_expr(zero, zero), 0)
     assert is_constant(ex.pow_expr(zero, one), 0)
     assert is_constant(ex.pow_expr(zero, two), 0)
     assert is_constant(ex.pow_expr(one, zero), 1)
