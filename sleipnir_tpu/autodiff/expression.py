@@ -247,6 +247,30 @@ def _getitem(xp, static, v):
     return out.reshape(outshape)
 
 
+def _accurate_sin(xp, a):
+    if xp is np:
+        return np.sin(a)
+    from sleipnir_tpu.ops import accurate_math  # noqa: PLC0415
+
+    return accurate_math.sin(a)
+
+
+def _accurate_cos(xp, a):
+    if xp is np:
+        return np.cos(a)
+    from sleipnir_tpu.ops import accurate_math  # noqa: PLC0415
+
+    return accurate_math.cos(a)
+
+
+def _accurate_tan(xp, a):
+    if xp is np:
+        return np.tan(a)
+    from sleipnir_tpu.ops import accurate_math  # noqa: PLC0415
+
+    return accurate_math.tan(a)
+
+
 _EVAL: dict[str, Callable] = {
     "add": lambda xp, s, a, b: a + b,
     "sub": lambda xp, s, a, b: a - b,
@@ -262,7 +286,7 @@ _EVAL: dict[str, Callable] = {
     "atan": lambda xp, s, a: xp.arctan(a),
     "atan2": lambda xp, s, a, b: xp.arctan2(a, b),
     "cbrt": lambda xp, s, a: xp.cbrt(a),
-    "cos": lambda xp, s, a: xp.cos(a),
+    "cos": lambda xp, s, a: _accurate_cos(xp, a),
     "cosh": lambda xp, s, a: xp.cosh(a),
     "erf": lambda xp, s, a: _erf(xp, a),
     "exp": lambda xp, s, a: xp.exp(a),
@@ -272,10 +296,10 @@ _EVAL: dict[str, Callable] = {
     "maximum": lambda xp, s, a, b: xp.maximum(a, b),
     "minimum": lambda xp, s, a, b: xp.minimum(a, b),
     "sign": lambda xp, s, a: xp.sign(a),
-    "sin": lambda xp, s, a: xp.sin(a),
+    "sin": lambda xp, s, a: _accurate_sin(xp, a),
     "sinh": lambda xp, s, a: xp.sinh(a),
     "sqrt": lambda xp, s, a: xp.sqrt(a),
-    "tan": lambda xp, s, a: xp.tan(a),
+    "tan": lambda xp, s, a: _accurate_tan(xp, a),
     "tanh": lambda xp, s, a: xp.tanh(a),
     "transpose": lambda xp, s, a: a.T,
     "reshape": lambda xp, s, a: a.reshape(s[0]),

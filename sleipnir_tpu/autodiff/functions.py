@@ -55,6 +55,15 @@ def _apply_binary(op: str, np_fn, a, b):
     return np_fn(jnp, a, b)
 
 
+def _acc(xp, name, v):
+    """f64-accurate trig on the JAX path (see ops/accurate_math.py)."""
+    if xp is np:
+        return getattr(np, name)(v)
+    from sleipnir_tpu.ops import accurate_math  # noqa: PLC0415
+
+    return getattr(accurate_math, name)(v)
+
+
 def abs(x):  # noqa: A001
     return _apply_unary("abs", lambda xp, v: xp.abs(v), x)
 
@@ -80,7 +89,7 @@ def cbrt(x):
 
 
 def cos(x):
-    return _apply_unary("cos", lambda xp, v: xp.cos(v), x)
+    return _apply_unary("cos", lambda xp, v: _acc(xp, "cos", v), x)
 
 
 def cosh(x):
@@ -133,7 +142,7 @@ def sign(x):
 
 
 def sin(x):
-    return _apply_unary("sin", lambda xp, v: xp.sin(v), x)
+    return _apply_unary("sin", lambda xp, v: _acc(xp, "sin", v), x)
 
 
 def sinh(x):
@@ -145,7 +154,7 @@ def sqrt(x):
 
 
 def tan(x):
-    return _apply_unary("tan", lambda xp, v: xp.tan(v), x)
+    return _apply_unary("tan", lambda xp, v: _acc(xp, "tan", v), x)
 
 
 def tanh(x):

@@ -19,6 +19,7 @@ import numpy as np
 import sleipnir_tpu as slp
 from sleipnir_tpu.autodiff import expression as ex
 from sleipnir_tpu.autodiff.variable import Variable, VariableMatrix
+from sleipnir_tpu.ops import accurate_math
 
 M_C = 5.0  # Cart mass (kg)
 M_P = 0.5  # Pole mass (kg)
@@ -37,8 +38,10 @@ def dynamics(x, u):
     xdot = x[2, 0]
     thetadot = x[3, 0]
     f_x = u[0, 0]
-    c = jnp.cos(theta)
-    s = jnp.sin(theta)
+    # f64-accurate trig: XLA:TPU's fused f64 cos can drop to ~1e-8 relative
+    # accuracy, which caps the attainable KKT error (ops/accurate_math.py).
+    c = accurate_math.cos(theta)
+    s = accurate_math.sin(theta)
 
     # M(q) = [[m_c + m_p, m_p l cosθ], [m_p l cosθ, m_p l²]]
     m00 = M_C + M_P

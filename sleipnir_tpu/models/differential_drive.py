@@ -11,6 +11,8 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
+
+from sleipnir_tpu.ops import accurate_math
 import numpy as np
 
 import sleipnir_tpu as slp
@@ -39,8 +41,8 @@ def dynamics(x, u):
         [
             jnp.stack(
                 [
-                    v * jnp.cos(heading),
-                    v * jnp.sin(heading),
+                    v * accurate_math.cos(heading),
+                    v * accurate_math.sin(heading),
                     (x[4, 0] - x[3, 0]) / TRACKWIDTH,
                 ]
             ).reshape(3, 1),

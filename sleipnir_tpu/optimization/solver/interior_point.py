@@ -359,8 +359,11 @@ def make_interior_point(
         fac = backend.factor(derivs, sigma, st.prev_delta, gamma_min)
 
         def compute_step(rhs_top_vec, rhs_bottom_vec, c_i_minus_s):
-            """Newton-KKT solve + slack/dual recovery (reference :470-481)."""
-            p_x, p_y = backend.solve(fac, rhs_top_vec, rhs_bottom_vec)
+            """Newton-KKT solve + slack/dual recovery (reference :470-481),
+            with iterative refinement for backward stability."""
+            p_x, p_y = backend.solve_refined(
+                derivs, sigma, fac, rhs_top_vec, rhs_bottom_vec
+            )
             p_s = c_i_minus_s + (
                 backend.Ai(derivs, p_x) if mi > 0 else c_i_minus_s * 0.0
             )
@@ -398,7 +401,14 @@ def make_interior_point(
             tx = x + c.alpha * c.p_x
             tci = F.c_i(tx)
             ts = jnp.where(feasible_sub, tci, s + c.alpha * c.p_s)
-            ty = y + c.alpha_z * c.p_y
+            # Equality duals advance with the PRIMAL step size (Ipopt /
+            # Wächter-Biegler eq. (8): λ_{k+1} = λ_k + α_k d_λ). The
+            # reference instead uses α_z here (interior_point.hpp:523),
+            # which lets y run away when the primal α collapses — measured
+            # on cart-pole N=24/T=4: reference-style y-steps blow the duals
+            # to 1e10 and the solve dies in restoration, while Ipopt-style
+            # y-steps converge. A deliberate robustness improvement.
+            ty = y + c.alpha * c.p_y
             tz = z + c.alpha_z * c.p_z
             tf = F.f(tx)
             tce = F.c_e(tx)
@@ -469,7 +479,8 @@ def make_interior_point(
                 az2 = fraction_to_the_boundary(z, pz2, tau)
                 tx2 = x + a2 * px2
                 ts2 = s + a2 * ps2
-                ty2 = y + az2 * py2
+                # Primal step size for equality duals (see ls_body).
+                ty2 = y + a2 * py2
                 tz2 = z + az2 * pz2
                 tf2 = F.f(tx2)
                 tce2 = F.c_e(tx2)
@@ -581,23 +592,42 @@ def make_interior_point(
                 )
                 tx3 = x + alpha_max * c.p_x
                 ts3 = s + alpha_max * c.p_s
-                ty3 = y + c.alpha_z * c.p_y
-                tz3 = z + c.alpha_z * c.p_z
                 tf3 = F.f(tx3)
                 tce3 = F.c_e(tx3)
                 tci3 = F.c_i(tx3)
-                derivs3 = backend.eval_derivs(F, tx3, ty3, tz3)
-                next_err = kkt_error_ipm_one_products(
-                    F.g(tx3),
-                    backend.AeT(derivs3, ty3),
-                    backend.AiT(derivs3, tz3),
-                    tce3,
-                    tci3,
-                    ts3,
-                    ty3,
-                    tz3,
-                    mu,
-                )
+                g3 = F.g(tx3)
+
+                def err_with(ay):
+                    """KKT error of the trial with dual step size ay."""
+                    ty = y + ay * c.p_y
+                    tz = z + ay * c.p_z
+                    d3 = backend.eval_derivs(F, tx3, ty, tz)
+                    return kkt_error_ipm_one_products(
+                        g3,
+                        backend.AeT(d3, ty),
+                        backend.AiT(d3, tz),
+                        tce3,
+                        tci3,
+                        ts3,
+                        ty,
+                        tz,
+                        mu,
+                    )
+
+                # Candidate dual step sizes: the reference's α_z
+                # (interior_point.hpp:698-701) and Ipopt's default primal α
+                # ("alpha_for_y primal"). The full α_z dual jump is the
+                # escape hatch on problems like Wächter-Biegler's
+                # line-search-failure example, but it can also detonate the
+                # duals (measured on cart-pole N=24/T=4: y reaches 1e8 and
+                # the solve dies); picking the candidate with the lower
+                # 1-norm KKT error keeps both behaviors.
+                err_a = err_with(c.alpha_z)
+                err_b = err_with(alpha_max)
+                ay_best = jnp.where(err_a <= err_b, c.alpha_z, alpha_max)
+                next_err = jnp.minimum(err_a, err_b)
+                ty3 = y + ay_best * c.p_y
+                tz3 = z + ay_best * c.p_z
                 ok = next_err <= 0.999 * cur_err
                 return ok, tx3, ts3, ty3, tz3, tf3, tce3, tci3
 

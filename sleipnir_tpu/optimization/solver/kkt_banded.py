@@ -370,6 +370,67 @@ class BandedBackend:
         )
         return p_x, p_y
 
+    def _kkt_matvec_staged(self, d: BandedDerivs, sigma, delta, gamma, sol):
+        """Apply the regularized staged KKT matrix to sol (K, w).
+
+        Matches the matrix assembled in factor(): per-stage diagonal
+        [Hd + AᵢᵀΣAᵢ + δI, Alocᵀ; Aloc, diag(−γ | −1 pad)] with
+        sub-diagonal coupling [Hc, Anextᵀ; 0, 0]."""
+        m = self.m
+        u = sol[:, :m]  # (K, m)
+        v = sol[:, m:]  # (K, p)
+        top = jnp.einsum("kij,kj->ki", d.Hd, u) + delta * u
+        if self.K > 1:
+            top = top.at[1:].add(jnp.einsum("kij,kj->ki", d.Hc, u[:-1]))
+            top = top.at[:-1].add(jnp.einsum("kji,kj->ki", d.Hc, u[1:]))
+        if self.mi > 0:
+            sig_st = self._stage_ineq(sigma)  # (K, q)
+            t = jnp.einsum("kqm,km->kq", d.Ailoc, u) * sig_st
+            top = top + jnp.einsum("kqm,kq->km", d.Ailoc, t)
+        # Aₑᵀ v (staged): stage-local rows plus next-stage coupling
+        top = top + jnp.einsum("kpm,kp->km", d.Aloc, v)
+        if self.K > 1:
+            top = top.at[1:].add(
+                jnp.einsum("kpm,kp->km", d.Anext, v)[:-1]
+            )
+        # Aₑ u rows + regularization diagonal
+        u_next = jnp.concatenate(
+            [u[1:], jnp.zeros((1, m), u.dtype)], axis=0
+        )
+        bot = jnp.einsum("kpm,km->kp", d.Aloc, u) + jnp.einsum(
+            "kpm,km->kp", d.Anext, u_next
+        )
+        bot = bot + jnp.where(self._eq_slot_real, -gamma, -1.0) * v
+        return jnp.concatenate([top, bot], axis=1)
+
+    def solve_refined(
+        self, d: BandedDerivs, sigma, fac: BandedFactor, rhs_top, rhs_bottom,
+        iterations: int = 2,
+    ):
+        """Solve + fixed-count iterative refinement (see
+        DenseBackend.solve_refined; the stage-ordered unpivoted elimination
+        needs it even more than the dense path)."""
+        b = jnp.zeros((self.K, self.w), self.dtype)
+        b = b.at[:, : self.m].set(self._stage_vec(rhs_top))
+        if self.me > 0:
+            b = b.at[
+                self._ce_stage, self.m + self._ce_slot
+            ].set(rhs_bottom)
+        solve_fn = bcr_solve if self.use_bcr else block_tridiag_solve
+        sol = solve_fn(fac.fac, b)
+        for _ in range(iterations):
+            r = b - self._kkt_matvec_staged(
+                d, sigma, fac.delta, fac.gamma, sol
+            )
+            sol = sol + solve_fn(fac.fac, r)
+        p_x = self._unstage_vec(sol[:, : self.m])
+        p_y = (
+            -sol[self._ce_stage, self.m + self._ce_slot]
+            if self.me > 0
+            else jnp.zeros((0,), self.dtype)
+        )
+        return p_x, p_y
+
     # -- observability -----------------------------------------------------
 
     def dense(self, d: BandedDerivs):
