@@ -597,24 +597,31 @@ def make_interior_point(
                 tci3 = F.c_i(tx3)
                 g3 = F.g(tx3)
 
+                # The Jacobians in the KKT-error products are independent
+                # of the duals, so evaluate derivatives once at tx3 and
+                # reuse them for both candidates below.
+                d3 = backend.eval_derivs(F, tx3, y, z)
+                # z always steps by its own fraction-to-the-boundary α_z
+                # (reference interior_point.hpp:698) so trial z keeps its
+                # positivity rule.
+                tz3 = z + c.alpha_z * c.p_z
+
                 def err_with(ay):
-                    """KKT error of the trial with dual step size ay."""
+                    """KKT error of the trial with y-step size ay."""
                     ty = y + ay * c.p_y
-                    tz = z + ay * c.p_z
-                    d3 = backend.eval_derivs(F, tx3, ty, tz)
                     return kkt_error_ipm_one_products(
                         g3,
                         backend.AeT(d3, ty),
-                        backend.AiT(d3, tz),
+                        backend.AiT(d3, tz3),
                         tce3,
                         tci3,
                         ts3,
                         ty,
-                        tz,
+                        tz3,
                         mu,
                     )
 
-                # Candidate dual step sizes: the reference's α_z
+                # Candidate y-step sizes: the reference's α_z
                 # (interior_point.hpp:698-701) and Ipopt's default primal α
                 # ("alpha_for_y primal"). The full α_z dual jump is the
                 # escape hatch on problems like Wächter-Biegler's
@@ -627,7 +634,6 @@ def make_interior_point(
                 ay_best = jnp.where(err_a <= err_b, c.alpha_z, alpha_max)
                 next_err = jnp.minimum(err_a, err_b)
                 ty3 = y + ay_best * c.p_y
-                tz3 = z + ay_best * c.p_z
                 ok = next_err <= 0.999 * cur_err
                 return ok, tx3, ts3, ty3, tz3, tf3, tce3, tci3
 
@@ -788,24 +794,79 @@ def make_interior_point(
             return out
 
         def fr_update(_):
-            # Request feasibility restoration from the host driver
-            # (reference :721-767); if already restoring, fail (:726-728).
-            status = jnp.asarray(
-                int(ExitStatus.FEASIBILITY_RESTORATION_FAILED)
-                if in_feasibility_restoration
-                else status_codes.FEASIBILITY_RESTORATION_REQUESTED,
-                jnp.int32,
+            def request_restoration(_):
+                # Request feasibility restoration from the host driver
+                # (reference :721-767); if already restoring, fail (:726-728).
+                status = jnp.asarray(
+                    int(ExitStatus.FEASIBILITY_RESTORATION_FAILED)
+                    if in_feasibility_restoration
+                    else status_codes.FEASIBILITY_RESTORATION_REQUESTED,
+                    jnp.int32,
+                )
+                return st._replace(
+                    status=status,
+                    filt=ls.filt,
+                    prev_delta=fac.delta,
+                    delta=fac.delta,
+                    gamma=fac.gamma,
+                    # The restoration early-stop check reuses the line
+                    # search's final α (reference :755).
+                    alpha=ls.alpha,
+                )
+
+            if mi == 0:
+                return request_restoration(0)
+
+            # ---- slack resync before restoration -------------------------
+            # The line search can collapse (α → 0) at an iterate that is
+            # feasible but whose slacks have drifted away from cᵢ(x), so
+            # θ = ‖cₑ‖₁ + ‖cᵢ − s‖₁ is dominated by pure slack
+            # desynchronization (observed on cart-pole N=100: θ = 1.16 at
+            # ‖cₑ‖₂ = 4.8e-8, min cᵢ = +3e-16). Before escalating to a
+            # restoration solve — whose "converged" exit would misdiagnose
+            # the feasible parent as locally infeasible — resynchronize
+            # s ← cᵢ(x) wherever cᵢ > 0 (the feasible-IPM device of
+            # reference interior_point.hpp:514-521, applied once). Only
+            # taken when it removes ≥90% of θ, which makes it
+            # self-limiting: a repeat failure at the same iterate has no
+            # slack desync left to remove and falls through to restoration.
+            theta_e = _one_norm(c_e)
+            s_sync = jnp.where(c_i > 0.0, c_i, s)
+            theta_slack_after = jnp.sum(
+                jnp.where(c_i > 0.0, 0.0, jnp.abs(c_i - s))
             )
-            return st._replace(
-                status=status,
-                filt=ls.filt,
-                prev_delta=fac.delta,
-                delta=fac.delta,
-                gamma=fac.gamma,
-                # The restoration early-stop check reuses the line search's
-                # final α (reference :755).
-                alpha=ls.alpha,
+            resync_ok = (theta_e + theta_slack_after) <= 0.1 * viol(
+                c_e, c_i, s
             )
+
+            def do_resync(_):
+                s1 = s_sync
+                # Keep z in the κ_Σ band around μ/s after the jump in s
+                # (reference :784-801).
+                z1 = jnp.clip(
+                    z, (1.0 / KAPPA_SIGMA) * mu / s1, KAPPA_SIGMA * mu / s1
+                )
+                # θ changed discontinuously; old filter entries would block
+                # the next steps, so clear them.
+                return finish_iteration(
+                    st._replace(
+                        filt=reset_filter(ls.filt),
+                        prev_delta=fac.delta,
+                        delta=fac.delta,
+                        gamma=fac.gamma,
+                        alpha=ls.alpha,
+                    ),
+                    x,
+                    s1,
+                    y,
+                    z1,
+                    f,
+                    c_e,
+                    c_i,
+                    st.iterations + 1,
+                )
+
+            return lax.cond(resync_ok, do_resync, request_restoration, 0)
 
         def factorization_failed(_):
             return st._replace(

@@ -243,20 +243,41 @@ def restore(
     s_new = np.asarray(state.s[:mi])
     iterations_out = int(state.iterations)
 
-    if status == ExitStatus.CALLBACK_REQUESTED_STOP:
-        # Parent filter accepted: estimate duals and resume
+    def resume_with_dual_estimates(x_res, s_res):
+        # Estimate duals at the restored point and resume the parent
         # (reference :612-622).
         pj = parent_state.params
-        g_new = np.asarray(parent.g(jnp.asarray(x_new), pj, parent_sc))
-        A_e_new = np.asarray(parent.A_e(jnp.asarray(x_new), pj, parent_sc))
-        A_i_new = np.asarray(parent.A_i(jnp.asarray(x_new), pj, parent_sc))
+        g_new = np.asarray(parent.g(jnp.asarray(x_res), pj, parent_sc))
+        A_e_new = np.asarray(parent.A_e(jnp.asarray(x_res), pj, parent_sc))
+        A_i_new = np.asarray(parent.A_i(jnp.asarray(x_res), pj, parent_sc))
         y_est, z_est = lagrange_multiplier_estimate(
-            g_new, A_e_new, A_i_new, s_new, mu
+            g_new, A_e_new, A_i_new, s_res, mu
         )
-        return "resume", x_new, s_new, y_est, z_est, iterations_out
+        return "resume", x_res, s_res, y_est, z_est, iterations_out
+
+    if status == ExitStatus.CALLBACK_REQUESTED_STOP:
+        # Parent filter accepted.
+        return resume_with_dual_estimates(x_new, s_new)
     if status == ExitStatus.SUCCESS:
-        # Restoration converged, so the original problem is locally
-        # infeasible (reference :623-624).
+        # Restoration converged. The reference translates this directly to
+        # LOCALLY_INFEASIBLE (reference :623-624), but that misdiagnoses
+        # the case where the *parent iterate is already feasible* and the
+        # line search stalled for a different reason (e.g. slack drift):
+        # the restoration subproblem then converges trivially at a
+        # feasible point. Check parent feasibility at the restored x
+        # first, and if feasible, resume with resynchronized slacks and
+        # re-estimated duals instead of declaring infeasibility.
+        pj = parent_state.params
+        ce_new = np.asarray(parent.c_e(jnp.asarray(x_new), pj, parent_sc))
+        ci_new = np.asarray(parent.c_i(jnp.asarray(x_new), pj, parent_sc))
+        eps_feas = max(options.tolerance * 100.0, 1e-10)
+        ce_ok = ce_new.shape[0] == 0 or np.max(np.abs(ce_new)) <= eps_feas
+        ci_ok = ci_new.shape[0] == 0 or np.min(ci_new) >= -eps_feas
+        if ce_ok and ci_ok:
+            s_res = (
+                np.maximum(ci_new, mu) if mi > 0 else s_new
+            )
+            return resume_with_dual_estimates(x_new, s_res)
         return (
             ExitStatus.LOCALLY_INFEASIBLE,
             x_new,

@@ -60,3 +60,26 @@ def test_cart_pole_problem():
     np.testing.assert_allclose(
         Xv[:, N], [1.0, math.pi, 0.0, 0.0], atol=1e-8
     )
+
+
+def test_cart_pole_problem_n100_flagship():
+    """Flagship benchmark size (BASELINE.md: Sleipnir solves N=100 in
+    278 ms; reference benchmarks/scalability/cart_pole/main.cpp). This is
+    the regression test for the slack-desynchronization failure where the
+    line search collapsed at a feasible iterate and restoration
+    misreported LOCALLY_INFEASIBLE (fixed by the in-solver slack resync in
+    interior_point.py fr_update)."""
+    problem, X, U = cart_pole_problem(
+        N=100, total_time=TOTAL_TIME, u_max=U_MAX, d_max=D_MAX
+    )
+    assert problem.solve() == ExitStatus.SUCCESS
+    Xv = X.value()
+    np.testing.assert_allclose(Xv[:, 0], [0, 0, 0, 0], atol=1e-8)
+    np.testing.assert_allclose(
+        Xv[:, 100], [1.0, math.pi, 0.0, 0.0], atol=1e-6
+    )
+    st = problem._last_state
+    # The iterate must be genuinely feasible with synchronized slacks.
+    assert float(np.linalg.norm(np.asarray(st.c_e))) < 1e-6
+    assert float(np.min(np.asarray(st.c_i))) >= -1e-10
+    assert float(np.sum(np.abs(np.asarray(st.c_i) - np.asarray(st.s)))) < 1e-6
