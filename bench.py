@@ -9,8 +9,13 @@ solve wall time (setup/compile excluded, matching the reference harness's
 setup/solve split in benchmarks/scalability/util.hpp:51-80).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": "ms", "vs_baseline": ...}
+  {"metric": ..., "value": ..., "unit": "ms", "vs_baseline": ...,
+   "iterations": ..., "iterations_per_s": ...}
 vs_baseline > 1 means faster than Sleipnir-on-CPU.
+
+On failure, partial data (status, iterations run, per-solve times, final
+solver-state norms) is printed to stderr before exiting nonzero, so a red
+run still yields diagnostics.
 """
 
 import json
@@ -22,6 +27,25 @@ import numpy as np
 
 N = 100
 SLEIPNIR_BASELINE_MS = 278.113
+
+
+def _report_state(problem, label: str) -> None:
+    """Dump partial solver diagnostics to stderr (never raises)."""
+    try:
+        st = problem._last_state
+        ce = np.asarray(st.c_e)
+        ci = np.asarray(st.c_i)
+        s = np.asarray(st.s)
+        print(
+            f"[{label}] iterations={int(st.iterations)} "
+            f"E0={float(st.E0):.3e} mu={float(st.mu):.3e} "
+            f"||c_e||2={np.linalg.norm(ce):.3e} "
+            f"min(c_i)={ci.min() if ci.size else 0.0:.3e} "
+            f"||c_i-s||1={np.abs(ci - s).sum():.3e}",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # pragma: no cover - diagnostics only
+        print(f"[{label}] state dump failed: {exc}", file=sys.stderr)
 
 
 def main() -> None:
@@ -46,25 +70,39 @@ def main() -> None:
     # autodiff setup, but paid once per problem structure).
     status = problem.solve()
     setup_s = time.monotonic() - t_setup
-    assert status == ExitStatus.SUCCESS, status
+    print(f"setup+compile: {setup_s:.1f}s; first status: {status}",
+          file=sys.stderr)
+    if status != ExitStatus.SUCCESS:
+        _report_state(problem, "first-solve")
+        raise AssertionError(f"first solve failed: {status}")
     final = X.value()[:, N]
     assert np.allclose(final, [1.0, math.pi, 0.0, 0.0], atol=1e-6), final
 
     # Timed solves from the original initial guess
     times = []
-    for _ in range(5):
+    iters = []
+    for k in range(5):
         X.set_value(guess)
         U.set_value(np.zeros((1, N + 1)))
         t0 = time.monotonic()
         status = problem.solve()
         times.append(time.monotonic() - t0)
-        assert status == ExitStatus.SUCCESS, status
+        iters.append(int(problem._last_state.iterations))
+        if status != ExitStatus.SUCCESS:
+            print(
+                f"timed solve {k} failed: {status}; "
+                f"times so far: {[f'{t * 1e3:.0f}ms' for t in times]}",
+                file=sys.stderr,
+            )
+            _report_state(problem, f"timed-solve-{k}")
+            raise AssertionError(f"timed solve {k} failed: {status}")
 
-    solve_ms = min(times) * 1e3
+    best = int(np.argmin(times))
+    solve_ms = times[best] * 1e3
+    iterations = iters[best]
     print(
-        f"setup+compile: {setup_s:.1f}s; solve times: "
-        f"{[f'{t * 1e3:.0f}ms' for t in times]}; "
-        f"iterations: {int(problem._last_state.iterations)}",
+        f"solve times: {[f'{t * 1e3:.0f}ms' for t in times]}; "
+        f"iterations: {iters}",
         file=sys.stderr,
     )
     print(
@@ -74,6 +112,8 @@ def main() -> None:
                 "value": round(solve_ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(SLEIPNIR_BASELINE_MS / solve_ms, 4),
+                "iterations": iterations,
+                "iterations_per_s": round(iterations / times[best], 1),
             }
         )
     )

@@ -247,28 +247,10 @@ def _getitem(xp, static, v):
     return out.reshape(outshape)
 
 
-def _accurate_sin(xp, a):
-    if xp is np:
-        return np.sin(a)
+def _acc_dispatch(xp, name, a):
     from sleipnir_tpu.ops import accurate_math  # noqa: PLC0415
 
-    return accurate_math.sin(a)
-
-
-def _accurate_cos(xp, a):
-    if xp is np:
-        return np.cos(a)
-    from sleipnir_tpu.ops import accurate_math  # noqa: PLC0415
-
-    return accurate_math.cos(a)
-
-
-def _accurate_tan(xp, a):
-    if xp is np:
-        return np.tan(a)
-    from sleipnir_tpu.ops import accurate_math  # noqa: PLC0415
-
-    return accurate_math.tan(a)
+    return accurate_math.dispatch(xp, name, a)
 
 
 _EVAL: dict[str, Callable] = {
@@ -286,7 +268,7 @@ _EVAL: dict[str, Callable] = {
     "atan": lambda xp, s, a: xp.arctan(a),
     "atan2": lambda xp, s, a, b: xp.arctan2(a, b),
     "cbrt": lambda xp, s, a: xp.cbrt(a),
-    "cos": lambda xp, s, a: _accurate_cos(xp, a),
+    "cos": lambda xp, s, a: _acc_dispatch(xp, "cos", a),
     "cosh": lambda xp, s, a: xp.cosh(a),
     "erf": lambda xp, s, a: _erf(xp, a),
     "exp": lambda xp, s, a: xp.exp(a),
@@ -296,10 +278,10 @@ _EVAL: dict[str, Callable] = {
     "maximum": lambda xp, s, a, b: xp.maximum(a, b),
     "minimum": lambda xp, s, a, b: xp.minimum(a, b),
     "sign": lambda xp, s, a: xp.sign(a),
-    "sin": lambda xp, s, a: _accurate_sin(xp, a),
+    "sin": lambda xp, s, a: _acc_dispatch(xp, "sin", a),
     "sinh": lambda xp, s, a: xp.sinh(a),
     "sqrt": lambda xp, s, a: xp.sqrt(a),
-    "tan": lambda xp, s, a: _accurate_tan(xp, a),
+    "tan": lambda xp, s, a: _acc_dispatch(xp, "tan", a),
     "tanh": lambda xp, s, a: xp.tanh(a),
     "transpose": lambda xp, s, a: a.T,
     "reshape": lambda xp, s, a: a.reshape(s[0]),
@@ -413,11 +395,18 @@ def pow_const(a: Expr, power: float) -> Expr:
     # Base pruning precedes exponent pruning, matching the reference's
     # order (expression.hpp:1722-1728): pow(0, p) = 0 — including
     # pow(0, 0) = 0, a deliberate deviation from IEEE pow — and
-    # pow(1, p) = 1 (expression_test.cpp:310-312).
+    # pow(1, p) = 1 (expression_test.cpp:310-312). The fold is applied
+    # elementwise so mixed constants like [[0, 2]] get consistent
+    # per-element semantics.
     if isinstance(a, ConstExpr):
-        vals = np.asarray(a.value)
-        if np.all(vals == 0.0) or np.all(vals == 1.0):
-            return a
+        vals = np.asarray(a.value, dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            folded = np.where(
+                vals == 0.0,
+                0.0,
+                np.where(vals == 1.0, 1.0, vals**power),
+            )
+        return ConstExpr(folded.reshape(a.shape))
     if power == 1:
         return a
     if power == 0:
@@ -436,6 +425,13 @@ def pow_expr(a: Expr, b: Expr) -> Expr:
     if isinstance(b, ConstExpr) and b.shape == ():
         return pow_const(a, float(b.value))
     shape = _broadcast_shapes(a.shape, b.shape)
+    # Mirror the reference's base-first pruning for any power
+    # (expression.hpp:1722-1728): a constant all-0/1 base fixes the result
+    # regardless of the (possibly variable) exponent.
+    if isinstance(a, ConstExpr):
+        vals = np.asarray(a.value, dtype=np.float64)
+        if np.all((vals == 0.0) | (vals == 1.0)):
+            return ConstExpr(np.broadcast_to(vals, shape).copy())
     return make_op("pow_expr", (a, b), shape=shape, lin=ExpressionType.NONLINEAR)
 
 

@@ -17,10 +17,9 @@ inputs beyond that reduce with error ~|x|·4e-28).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # 2/π and the Cody-Waite split of π/2 (fdlibm constants)
 _INV_PIO2 = 6.36619772367581382433e-01
@@ -121,3 +120,11 @@ def _cos_jvp(primals, tangents):
 def tan(x):
     """Tangent via the accurate sin/cos pair (≤2 ulp)."""
     return sin(x) / cos(x)
+
+
+def dispatch(xp, name: str, a):
+    """numpy-vs-jax dispatch for the expression evaluator: plain numpy on
+    the host path, the accurate kernels under jax tracing."""
+    if xp is np:
+        return getattr(np, name)(a)
+    return {"sin": sin, "cos": cos, "tan": tan}[name](a)

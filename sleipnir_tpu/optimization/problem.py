@@ -482,10 +482,22 @@ class Problem:
                 g=lambda x, p, sc: sc.f * g_fn(x, p),
                 H=lambda x, p, sc: sc.f * H_f_fn(x, p),
             )
-            init, step = make_newton(funcs, options)
-            cached = (jax.jit(init), step, make_runner(step), g_fn)
+            dtype = (
+                jnp.float64 if options.dtype == "float64" else jnp.float32
+            )
+            backend = self._make_kkt_backend(comp, options, dtype)
+            if backend is None:
+                from sleipnir_tpu.optimization.solver.kkt_backend import (  # noqa: PLC0415
+                    DenseBackend,
+                )
+
+                backend = DenseBackend(comp["n"], 0, 0, dtype)
+            init, step = make_newton(funcs, options, backend=backend)
+            cached = (
+                jax.jit(init), step, make_runner(step), g_fn, backend
+            )
             self._solver_cache[key] = cached
-        init, step, runner, g_fn = cached
+        init, step, runner, g_fn, backend = cached
         # Scaling at the starting point (reference problem.hpp:379-382)
         g0 = _setup_eval(g_fn, x0, params)
         scaling = ProblemScaling.for_newton(g0)
@@ -498,7 +510,7 @@ class Problem:
             step,
             options,
             callbacks=self._all_callbacks,
-            info_fn=self._newton_info,
+            info_fn=lambda st: self._newton_info(st, backend),
             start_time=start_time,
             runner=runner,
             diagnostics_fn=self._diagnostics_fn("newton"),
@@ -507,8 +519,9 @@ class Problem:
         return ExitStatus(int(state.status)), np.asarray(state.x)
 
     @staticmethod
-    def _newton_info(state) -> IterationInfo:
+    def _newton_info(state, backend) -> IterationInfo:
         empty = np.zeros(0)
+        H, _A_e, _A_i = backend.dense(state.derivs)
         return IterationInfo(
             iteration=int(state.iterations),
             x=np.asarray(state.x),
@@ -516,7 +529,7 @@ class Problem:
             y=empty,
             z=empty,
             g=np.asarray(state.g),
-            H=np.asarray(state.H),
+            H=np.asarray(H),
             A_e=np.zeros((0, state.x.shape[0])),
             A_i=np.zeros((0, state.x.shape[0])),
         )
@@ -542,7 +555,17 @@ class Problem:
                 c_e=lambda x, p, sc: sc.c_e * ce_raw(x, p),
                 A_e=lambda x, p, sc: sc.c_e[:, None] * A_e_fn(x, p),
             )
-            init, step, resume = make_sqp(funcs, options)
+            dtype = (
+                jnp.float64 if options.dtype == "float64" else jnp.float32
+            )
+            backend = self._make_kkt_backend(comp, options, dtype)
+            if backend is None:
+                from sleipnir_tpu.optimization.solver.kkt_backend import (  # noqa: PLC0415
+                    DenseBackend,
+                )
+
+                backend = DenseBackend(comp["n"], comp["me"], 0, dtype)
+            init, step, resume = make_sqp(funcs, options, backend=backend)
             cached = (
                 jax.jit(init),
                 step,
@@ -551,9 +574,10 @@ class Problem:
                 make_runner(step),
                 jax.jit(g_fn),
                 jax.jit(A_e_fn),
+                backend,
             )
             self._solver_cache[key] = cached
-        init, step, resume, funcs, runner, g_fn_j, A_e_fn_j = cached
+        init, step, resume, funcs, runner, g_fn_j, A_e_fn_j, backend = cached
         # Scaling at the starting point (reference problem.hpp:473-477)
         g0 = _setup_eval(g_fn_j, xj, pj)
         A_e0 = _setup_eval(A_e_fn_j, xj, pj)
@@ -608,7 +632,7 @@ class Problem:
             step,
             options,
             callbacks=callbacks,
-            info_fn=self._sqp_info,
+            info_fn=lambda st: self._sqp_info(st, backend),
             restoration_handler=restoration_handler,
             start_time=start_time,
             runner=runner,
@@ -618,8 +642,9 @@ class Problem:
         return ExitStatus(int(state.status)), np.asarray(state.x)
 
     @staticmethod
-    def _sqp_info(state) -> IterationInfo:
+    def _sqp_info(state, backend) -> IterationInfo:
         empty = np.zeros(0)
+        H, A_e, _A_i = backend.dense(state.derivs)
         return IterationInfo(
             iteration=int(state.iterations),
             x=np.asarray(state.x),
@@ -627,8 +652,8 @@ class Problem:
             y=np.asarray(state.y),
             z=empty,
             g=np.asarray(state.g),
-            H=np.asarray(state.H),
-            A_e=np.asarray(state.A_e),
+            H=np.asarray(H),
+            A_e=np.asarray(A_e),
             A_i=np.zeros((0, state.x.shape[0])),
         )
 

@@ -17,10 +17,12 @@ from jax import lax
 from sleipnir_tpu.optimization.solver import status_codes
 from sleipnir_tpu.optimization.solver.exit_status import ExitStatus
 from sleipnir_tpu.optimization.solver.funcs import (
+    IPMFunctions,
     NewtonFunctions,
     ScalingArrays,
     bind,
 )
+from sleipnir_tpu.optimization.solver.kkt_backend import DenseBackend
 from sleipnir_tpu.optimization.solver.options import Options
 from sleipnir_tpu.optimization.solver.util.filter import (
     FilterState,
@@ -30,10 +32,6 @@ from sleipnir_tpu.optimization.solver.util.filter import (
 from sleipnir_tpu.optimization.solver.util.kkt_error import (
     kkt_error_newton_one,
     unscaled_kkt_error_newton,
-)
-from sleipnir_tpu.optimization.solver.util.regularized_ldlt import (
-    regularized_ldlt,
-    regularized_solve,
 )
 
 ALPHA_REDUCTION_FACTOR = 0.5  # newton.hpp:141
@@ -46,7 +44,8 @@ class NewtonState(NamedTuple):
     x: jnp.ndarray
     f: jnp.ndarray
     g: jnp.ndarray
-    H: jnp.ndarray
+    #: Backend-specific derivative storage (dense H or banded blocks).
+    derivs: object
     E0: jnp.ndarray
     filt: FilterState
     prev_delta: jnp.ndarray
@@ -65,22 +64,46 @@ def _merge(pred, a, b):
     return jax.tree.map(lambda u, v: jnp.where(pred, u, v), a, b)
 
 
-def make_newton(funcs: NewtonFunctions, options: Options):
+def make_newton(funcs: NewtonFunctions, options: Options, *, backend=None):
+    """Build (init, step) for Newton on a fixed problem shape.
+
+    `backend` selects the KKT backend (kkt_backend.DenseBackend by
+    default; a banded backend for block-tridiagonal Hessians)."""
     n = funcs.num_decision_variables
     dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
     tol = options.tolerance
+    if backend is None:
+        backend = DenseBackend(n, 0, 0, dtype)
+
+    ipm_funcs = IPMFunctions(
+        num_decision_variables=n,
+        num_equality_constraints=0,
+        num_inequality_constraints=0,
+        f=funcs.f,
+        g=funcs.g,
+        H=lambda x, y, z, p, sc: funcs.H(x, p, sc),
+        H_c=lambda x, y, z, p, sc: jnp.zeros((n, n), x.dtype),
+        c_e=lambda x, p, sc: jnp.zeros((0,), x.dtype),
+        A_e=lambda x, p, sc: jnp.zeros((0, n), x.dtype),
+        c_i=lambda x, p, sc: jnp.zeros((0,), x.dtype),
+        A_i=lambda x, p, sc: jnp.zeros((0, n), x.dtype),
+    )
+    zeros_mi = jnp.zeros((0,))
 
     def init(x0, params, scaling, iterations0=0) -> NewtonState:
         params = jnp.asarray(params, dtype)
         F = bind(funcs, params, scaling)
         x0 = jnp.asarray(x0, dtype)
+        Fi = bind(ipm_funcs, params, scaling)
         f = F.f(x0)
         g = F.g(x0)
-        H = F.H(x0)
+        derivs = backend.eval_derivs(
+            Fi, x0, zeros_mi.astype(dtype), zeros_mi.astype(dtype)
+        )
         finite = (
             jnp.isfinite(f)
             & jnp.all(jnp.isfinite(g))
-            & jnp.all(jnp.isfinite(H))
+            & backend.all_finite(derivs)
         )
         E0 = unscaled_kkt_error_newton(scaling, g)
         status = jnp.where(
@@ -92,7 +115,7 @@ def make_newton(funcs: NewtonFunctions, options: Options):
             x=x0,
             f=f,
             g=g,
-            H=H,
+            derivs=derivs,
             E0=E0,
             filt=make_filter(jnp.asarray(0.0, dtype), dtype),
             prev_delta=jnp.asarray(0.0, dtype),
@@ -116,9 +139,12 @@ def make_newton(funcs: NewtonFunctions, options: Options):
 
     def iteration_body(st: NewtonState) -> NewtonState:
         F = bind(funcs, st.params, st.scaling)
-        x, f, g, H = st.x, st.f, st.g, st.H
+        Fi = bind(ipm_funcs, st.params, st.scaling)
+        x, f, g = st.x, st.f, st.g
+        derivs = st.derivs
+        sigma0 = zeros_mi.astype(dtype)
 
-        fac = regularized_ldlt(H, n, 0, st.prev_delta, 1e-10)
+        fac = backend.factor(derivs, sigma0, st.prev_delta, 1e-10)
 
         def factorization_failed(_):
             return st._replace(
@@ -128,7 +154,9 @@ def make_newton(funcs: NewtonFunctions, options: Options):
             )
 
         def with_factorization(_):
-            p_x = regularized_solve(fac, -g)
+            p_x, _p_y = backend.solve_refined(
+                derivs, sigma0, fac, -g, sigma0
+            )
             D_phi = g @ p_x
             zero = jnp.asarray(0.0, dtype)
 
@@ -223,7 +251,7 @@ def make_newton(funcs: NewtonFunctions, options: Options):
             def accepted_update(_):
                 x1 = ls.tx
                 g1 = F.g(x1)
-                H1 = F.H(x1)
+                derivs1 = backend.eval_derivs(Fi, x1, sigma0, sigma0)
                 E0 = unscaled_kkt_error_newton(st.scaling, g1)
                 iterations = st.iterations + 1
                 status = jnp.where(
@@ -239,7 +267,7 @@ def make_newton(funcs: NewtonFunctions, options: Options):
                     x=x1,
                     f=ls.tf,
                     g=g1,
-                    H=H1,
+                    derivs=derivs1,
                     E0=E0,
                     filt=ls.filt,
                     prev_delta=fac.delta,

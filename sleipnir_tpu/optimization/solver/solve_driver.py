@@ -67,12 +67,15 @@ def run_solver(
         start_time = time.monotonic()
 
     observed = bool(callbacks) or options.diagnostics
-    step_jit = jax.jit(step) if observed else None
+    # The observed path runs the SAME compiled chunk runner as the fast
+    # path with a cap of one iteration, so callbacks/diagnostics never pay
+    # for compiling a second program (the per-iteration jitted step used
+    # to take minutes of extra XLA compile time at benchmark sizes).
     chunk = 1 if observed else (
         32 if np.isfinite(options.timeout) else DEFAULT_CHUNK
     )
 
-    if not observed and runner is None:
+    if runner is None:
         runner = make_runner(step)
 
     while True:
@@ -101,7 +104,9 @@ def run_solver(
                     )
                     break
                 prev_state = state
-                state = step_jit(state)
+                state = runner(
+                    state, np.int32(int(state.iterations) + 1)
+                )
                 if options.diagnostics and diagnostics_fn is not None:
                     diagnostics_fn(prev_state, state)
             else:

@@ -17,10 +17,12 @@ from jax import lax
 from sleipnir_tpu.optimization.solver import status_codes
 from sleipnir_tpu.optimization.solver.exit_status import ExitStatus
 from sleipnir_tpu.optimization.solver.funcs import (
+    IPMFunctions,
     ScalingArrays,
     SQPFunctions,
     bind,
 )
+from sleipnir_tpu.optimization.solver.kkt_backend import DenseBackend
 from sleipnir_tpu.optimization.solver.options import Options
 from sleipnir_tpu.optimization.solver.util.filter import (
     FilterState,
@@ -29,15 +31,8 @@ from sleipnir_tpu.optimization.solver.util.filter import (
     try_add,
 )
 from sleipnir_tpu.optimization.solver.util.kkt_error import (
-    kkt_error_sqp_one,
-    unscaled_kkt_error_sqp,
-)
-from sleipnir_tpu.optimization.solver.util.regularized_ldlt import (
-    regularized_ldlt,
-    regularized_solve,
-)
-from sleipnir_tpu.optimization.solver.util.step_rules import (
-    is_equality_locally_infeasible,
+    kkt_error_sqp_one_products,
+    unscaled_kkt_error_sqp_products,
 )
 
 ALPHA_REDUCTION_FACTOR = 0.5  # sqp.hpp:237
@@ -54,8 +49,9 @@ class SQPState(NamedTuple):
     f: jnp.ndarray
     c_e: jnp.ndarray
     g: jnp.ndarray
-    H: jnp.ndarray
-    A_e: jnp.ndarray
+    #: Backend-specific derivative storage (dense H/A_e arrays or
+    #: per-stage banded blocks).
+    derivs: object
     E0: jnp.ndarray
     filt: FilterState
     prev_delta: jnp.ndarray
@@ -79,11 +75,36 @@ def _one_norm(v):
     return jnp.sum(jnp.abs(v)) if v.shape[0] > 0 else jnp.asarray(0.0, v.dtype)
 
 
-def make_sqp(funcs: SQPFunctions, options: Options):
+def make_sqp(funcs: SQPFunctions, options: Options, *, backend=None):
+    """Build (init, step, resume) for SQP on a fixed problem shape.
+
+    `backend` selects the KKT backend (kkt_backend.DenseBackend by
+    default; kkt_banded.BandedBackend for direct-transcription OCP
+    structure — the same seam as the IPM, so equality-only OCPs get the
+    O(N) block-tridiagonal path)."""
     n = funcs.num_decision_variables
     me = funcs.num_equality_constraints
     dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
     tol = options.tolerance
+    if backend is None:
+        backend = DenseBackend(n, me, 0, dtype)
+
+    # Adapt the SQP callbacks to the (y, z)-dual interface the backends
+    # consume (mi = 0: A_i/c_i are empty).
+    ipm_funcs = IPMFunctions(
+        num_decision_variables=n,
+        num_equality_constraints=me,
+        num_inequality_constraints=0,
+        f=funcs.f,
+        g=funcs.g,
+        H=lambda x, y, z, p, sc: funcs.H(x, y, p, sc),
+        H_c=lambda x, y, z, p, sc: funcs.H_c(x, y, p, sc),
+        c_e=funcs.c_e,
+        A_e=funcs.A_e,
+        c_i=lambda x, p, sc: jnp.zeros((0,), x.dtype),
+        A_i=lambda x, p, sc: jnp.zeros((0, n), x.dtype),
+    )
+    zeros_mi = jnp.zeros((0,))
 
     def init(x0, params, scaling, y0=None, iterations0=0) -> SQPState:
         params = jnp.asarray(params, dtype)
@@ -94,19 +115,20 @@ def make_sqp(funcs: SQPFunctions, options: Options):
             if y0 is None
             else jnp.asarray(y0, dtype)
         )
+        Fi = bind(ipm_funcs, params, scaling)
         f = F.f(x0)
         g = F.g(x0)
-        H = F.H(x0, y0)
         c_e = F.c_e(x0)
-        A_e = F.A_e(x0)
+        derivs = backend.eval_derivs(Fi, x0, y0, zeros_mi.astype(dtype))
         finite = (
             jnp.isfinite(f)
             & jnp.all(jnp.isfinite(g))
-            & jnp.all(jnp.isfinite(H))
             & jnp.all(jnp.isfinite(c_e))
-            & jnp.all(jnp.isfinite(A_e))
+            & backend.all_finite(derivs)
         )
-        E0 = unscaled_kkt_error_sqp(scaling, g, A_e, c_e, y0)
+        E0 = unscaled_kkt_error_sqp_products(
+            scaling, g, backend.AeT(derivs, y0), c_e, y0
+        )
         if me > n:
             status = jnp.asarray(int(ExitStatus.TOO_FEW_DOFS), jnp.int32)
         else:
@@ -123,8 +145,7 @@ def make_sqp(funcs: SQPFunctions, options: Options):
             f=f,
             c_e=c_e,
             g=g,
-            H=H,
-            A_e=A_e,
+            derivs=derivs,
             E0=E0,
             filt=make_filter(_one_norm(c_e), dtype),
             prev_delta=jnp.asarray(0.0, dtype),
@@ -142,10 +163,12 @@ def make_sqp(funcs: SQPFunctions, options: Options):
         """Refresh derivatives, KKT error, and exit conditions after an
         accepted step or restoration return (reference sqp.hpp:560-592)."""
         F = bind(funcs, st.params, st.scaling)
-        Ae1 = F.A_e(x1)
+        Fi = bind(ipm_funcs, st.params, st.scaling)
         g1 = F.g(x1)
-        H1 = F.H(x1, y1)
-        E0 = unscaled_kkt_error_sqp(st.scaling, g1, Ae1, ce1, y1)
+        derivs1 = backend.eval_derivs(Fi, x1, y1, zeros_mi.astype(dtype))
+        E0 = unscaled_kkt_error_sqp_products(
+            st.scaling, g1, backend.AeT(derivs1, y1), ce1, y1
+        )
         iterations = jnp.asarray(iterations, jnp.int32)
         status = jnp.where(
             iterations >= options.max_iterations,
@@ -160,8 +183,7 @@ def make_sqp(funcs: SQPFunctions, options: Options):
             f=f1,
             c_e=ce1,
             g=g1,
-            H=H1,
-            A_e=Ae1,
+            derivs=derivs1,
             E0=E0,
             iterations=iterations,
             status=status,
@@ -194,26 +216,24 @@ def make_sqp(funcs: SQPFunctions, options: Options):
 
     def iteration_body(st: SQPState) -> SQPState:
         F = bind(funcs, st.params, st.scaling)
+        Fi = bind(ipm_funcs, st.params, st.scaling)
         x, y = st.x, st.y
         f, c_e = st.f, st.c_e
-        g, H, A_e = st.g, st.H, st.A_e
+        g, derivs = st.g, st.derivs
+        sigma0 = zeros_mi.astype(dtype)
 
-        # lhs = [H Aₑᵀ; Aₑ 0] (reference sqp.hpp:290-300)
-        lhs = jnp.zeros((n + me, n + me), dtype)
-        lhs = lhs.at[:n, :n].set(H)
-        if me > 0:
-            lhs = lhs.at[:n, n:].set(A_e.T)
-            lhs = lhs.at[n:, :n].set(A_e)
-        rhs_top = -g + (A_e.T @ y if me > 0 else 0.0)
-        rhs = jnp.concatenate([rhs_top, -c_e])
+        # [H Aₑᵀ; Aₑ 0] assembled + factored by the backend with inertia
+        # correction (reference sqp.hpp:290-306).
+        rhs_top = -g + (backend.AeT(derivs, y) if me > 0 else 0.0)
 
-        fac = regularized_ldlt(lhs, n, me, st.prev_delta, 1e-10)
+        fac = backend.factor(derivs, sigma0, st.prev_delta, 1e-10)
 
-        def compute_step(rhs_vec):
-            p = regularized_solve(fac, rhs_vec)
-            return p[:n], -p[n:]
+        def compute_step(rhs_top_vec, rhs_bottom_vec):
+            return backend.solve_refined(
+                derivs, sigma0, fac, rhs_top_vec, rhs_bottom_vec
+            )
 
-        p_x, p_y = compute_step(rhs)
+        p_x, p_y = compute_step(rhs_top, -c_e)
         alpha_max = jnp.asarray(1.0, dtype)
         D_phi = g @ p_x
         current_viol = _one_norm(c_e)
@@ -255,8 +275,7 @@ def make_sqp(funcs: SQPFunctions, options: Options):
 
             def soc_body(sc: SOCCarry) -> SOCCarry:
                 ce_soc = sc.a * sc.ce_soc + sc.tce
-                rhs2 = jnp.concatenate([rhs_top, -ce_soc])
-                px2, py2 = compute_step(rhs2)
+                px2, py2 = compute_step(rhs_top, -ce_soc)
                 tx2 = x + sc.a * px2
                 ty2 = y + sc.a * py2
                 tf2 = F.f(tx2)
@@ -337,13 +356,16 @@ def make_sqp(funcs: SQPFunctions, options: Options):
             hit_min = alpha_next < ALPHA_MIN
 
             def kkt_fallback(_):
-                cur_err = kkt_error_sqp_one(g, A_e, c_e, y)
+                cur_err = kkt_error_sqp_one_products(
+                    g, backend.AeT(derivs, y), c_e, y
+                )
                 tx3 = x + alpha_max * c.p_x
                 ty3 = y + alpha_max * c.p_y
                 tf3 = F.f(tx3)
                 tce3 = F.c_e(tx3)
-                next_err = kkt_error_sqp_one(
-                    F.g(tx3), F.A_e(tx3), tce3, ty3
+                d3 = backend.eval_derivs(Fi, tx3, ty3, sigma0)
+                next_err = kkt_error_sqp_one_products(
+                    F.g(tx3), backend.AeT(d3, ty3), tce3, ty3
                 )
                 ok = next_err <= 0.999 * cur_err
                 return ok, tx3, ty3, tf3, tce3
@@ -475,7 +497,14 @@ def make_sqp(funcs: SQPFunctions, options: Options):
         )
 
     def step(st: SQPState) -> SQPState:
-        eq_infeasible = is_equality_locally_infeasible(st.A_e, st.c_e)
+        # Local infeasibility check (reference
+        # solver/util/is_locally_infeasible.hpp:18-38) via backend products.
+        if me > 0:
+            eq_infeasible = (
+                jnp.linalg.norm(backend.AeT(st.derivs, st.c_e)) < 1e-6
+            ) & (jnp.linalg.norm(st.c_e) > 1e-2)
+        else:
+            eq_infeasible = jnp.asarray(False)
         diverging = (
             jnp.max(jnp.abs(st.x), initial=0.0) > DIVERGENCE_LIMIT
         ) | ~jnp.all(jnp.isfinite(st.x))

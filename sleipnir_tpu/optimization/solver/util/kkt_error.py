@@ -47,6 +47,27 @@ def kkt_error_sqp_one(g, A_e, c_e, y):
     return _one_norm(g - A_e.T @ y) + _one_norm(c_e)
 
 
+def kkt_error_sqp_one_products(g, AeT_y, c_e, y):
+    """1-norm SQP error from the precomputed Aₑᵀy product
+    (backend-agnostic; the banded backend never materializes A_e)."""
+    if c_e.shape[0] == 0:
+        return _one_norm(g)
+    return _one_norm(g - AeT_y) + _one_norm(c_e)
+
+
+def unscaled_kkt_error_sqp_products(scaling, g, AeT_y, c_e, y):
+    """Unscaled ∞-norm SQP error from transpose products (see
+    unscaled_kkt_error_ipm_products for the rescaling algebra)."""
+    if c_e.shape[0] == 0:
+        return kkt_error_newton_inf(g / scaling.f)
+    inv_d_f = 1.0 / scaling.f
+    grad = (g - AeT_y) * inv_d_f
+    c_e_u = c_e / scaling.c_e
+    y_u = scaling.c_e * y * inv_d_f
+    s_d = jnp.maximum(S_MAX, _one_norm(y_u) / c_e.shape[0]) / S_MAX
+    return jnp.maximum(_inf_norm(grad) / s_d, _inf_norm(c_e_u))
+
+
 # -- Interior-point -------------------------------------------------------
 
 
