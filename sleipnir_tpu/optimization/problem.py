@@ -99,6 +99,70 @@ class _FnBlock:
         self.row_stage = row_stage
 
 
+class _DiagProfilers:
+    """Setup/solve profiler bundle printed under diagnostics=True
+    (reference util/profiler.hpp + print_diagnostics.hpp:289-330; wired
+    like reference problem.hpp's setup_profilers/solve_profilers)."""
+
+    def __init__(self, enabled: bool) -> None:
+        from sleipnir_tpu.util.profiler import (  # noqa: PLC0415
+            SetupProfiler,
+            SolveProfiler,
+        )
+
+        self.enabled = enabled
+        self.setup: list = []
+        self.solve: dict | None = None
+        if enabled:
+            total = SetupProfiler("setup")
+            total.start()
+            self.setup.append(total)
+            self.solve = {
+                "solve": SolveProfiler("solve"),
+                "iterate": SolveProfiler("  ↳ iterate"),
+                "restoration": SolveProfiler("  ↳ restoration"),
+                "callbacks": SolveProfiler("  ↳ callbacks"),
+            }
+
+    def phase(self, name: str):
+        from contextlib import contextmanager  # noqa: PLC0415
+
+        from sleipnir_tpu.util.profiler import SetupProfiler  # noqa: PLC0415
+
+        @contextmanager
+        def cm():
+            if not self.enabled:
+                yield
+                return
+            prof = SetupProfiler("  ↳ " + name)
+            prof.start()
+            try:
+                yield
+            finally:
+                prof.stop()
+                self.setup.append(prof)
+
+        return cm()
+
+    def report(self) -> None:
+        if not self.enabled:
+            return
+        from sleipnir_tpu.util.print_diagnostics import (  # noqa: PLC0415
+            print_setup_diagnostics,
+            print_solver_diagnostics,
+        )
+
+        self.setup[0].stop()
+        print()
+        print_setup_diagnostics(self.setup)
+        profs = [self.solve["solve"]] + [
+            p
+            for k, p in self.solve.items()
+            if k != "solve" and p.count > 0
+        ]
+        print_solver_diagnostics(profs)
+
+
 class Problem:
     """An optimization problem (reference optimization/problem.hpp:78)."""
 
@@ -471,6 +535,7 @@ class Problem:
     def _solve_newton(self, comp, x0, params, options, start_time, spy=False):
         """(reference problem.hpp:335-402)"""
         key = self._cache_key("newton", options)
+        prof = _DiagProfilers(options.diagnostics)
         cached = self._solver_cache.get(key)
         if cached is None:
             f_raw = comp["f"]
@@ -499,12 +564,14 @@ class Problem:
             self._solver_cache[key] = cached
         init, step, runner, g_fn, backend = cached
         # Scaling at the starting point (reference problem.hpp:379-382)
-        g0 = _setup_eval(g_fn, x0, params)
-        scaling = ProblemScaling.for_newton(g0)
-        sc = ScalingArrays(
-            f=jnp.asarray(scaling.f), c_e=jnp.zeros(0), c_i=jnp.zeros(0)
-        )
-        state = init(x0, params, sc)
+        with prof.phase("problem scaling"):
+            g0 = _setup_eval(g_fn, x0, params)
+            scaling = ProblemScaling.for_newton(g0)
+            sc = ScalingArrays(
+                f=jnp.asarray(scaling.f), c_e=jnp.zeros(0), c_i=jnp.zeros(0)
+            )
+        with prof.phase("initial state"):
+            state = init(x0, params, sc)
         state = run_solver(
             state,
             step,
@@ -514,7 +581,9 @@ class Problem:
             start_time=start_time,
             runner=runner,
             diagnostics_fn=self._diagnostics_fn("newton"),
+            profilers=prof.solve,
         )
+        prof.report()
         self._last_state = state
         return ExitStatus(int(state.status)), np.asarray(state.x)
 
@@ -537,6 +606,7 @@ class Problem:
     def _solve_sqp(self, comp, x0, params, options, start_time, spy=False):
         """(reference problem.hpp:403-511)"""
         key = self._cache_key("sqp", options)
+        prof = _DiagProfilers(options.diagnostics)
         cached = self._solver_cache.get(key)
         xj, pj = jnp.asarray(x0), jnp.asarray(params)
         if cached is None:
@@ -579,14 +649,15 @@ class Problem:
             self._solver_cache[key] = cached
         init, step, resume, funcs, runner, g_fn_j, A_e_fn_j, backend = cached
         # Scaling at the starting point (reference problem.hpp:473-477)
-        g0 = _setup_eval(g_fn_j, xj, pj)
-        A_e0 = _setup_eval(A_e_fn_j, xj, pj)
-        scaling = ProblemScaling.for_sqp(g0, A_e0)
-        sc = ScalingArrays(
-            f=jnp.asarray(scaling.f),
-            c_e=jnp.asarray(scaling.c_e),
-            c_i=jnp.zeros(0),
-        )
+        with prof.phase("problem scaling"):
+            g0 = _setup_eval(g_fn_j, xj, pj)
+            A_e0 = _setup_eval(A_e_fn_j, xj, pj)
+            scaling = ProblemScaling.for_sqp(g0, A_e0)
+            sc = ScalingArrays(
+                f=jnp.asarray(scaling.f),
+                c_e=jnp.asarray(scaling.c_e),
+                c_i=jnp.zeros(0),
+            )
 
         def restoration_handler(state, st_time):
             # Wrap the SQP callbacks as a zero-inequality IPM parent
@@ -626,7 +697,8 @@ class Problem:
         callbacks = list(self._all_callbacks)
         if spy:
             callbacks.append(self._make_spy_callback(with_inequality=False))
-        state = init(x0, pj, sc)
+        with prof.phase("initial state"):
+            state = init(x0, pj, sc)
         state = run_solver(
             state,
             step,
@@ -637,7 +709,9 @@ class Problem:
             start_time=start_time,
             runner=runner,
             diagnostics_fn=self._diagnostics_fn("sqp"),
+            profilers=prof.solve,
         )
+        prof.report()
         self._last_state = state
         return ExitStatus(int(state.status)), np.asarray(state.x)
 
@@ -735,7 +809,9 @@ class Problem:
     def _solve_ipm(self, comp, x0, params, options, start_time, spy=False):
         """(reference problem.hpp:512-669)"""
         xj, pj = jnp.asarray(x0), jnp.asarray(params)
-        cached = self._prepare_ipm(comp, options)
+        prof = _DiagProfilers(options.diagnostics)
+        with prof.phase("compile solver"):
+            cached = self._prepare_ipm(comp, options)
         (
             init,
             step,
@@ -750,19 +826,21 @@ class Problem:
         ) = cached
 
         # Scaling at the starting point (reference problem.hpp:612-616)
-        g0 = _setup_eval(g_fn_j, xj, pj)
-        A_e0 = _setup_eval(A_e_fn_j, xj, pj)
-        A_i0 = _setup_eval(A_i_fn_j, xj, pj)
-        scaling = ProblemScaling.for_ipm(g0, A_e0, A_i0)
-        sc = ScalingArrays(
-            f=jnp.asarray(scaling.f),
-            c_e=jnp.asarray(scaling.c_e),
-            c_i=jnp.asarray(scaling.c_i),
-        )
+        with prof.phase("problem scaling"):
+            g0 = _setup_eval(g_fn_j, xj, pj)
+            A_e0 = _setup_eval(A_e_fn_j, xj, pj)
+            A_i0 = _setup_eval(A_i_fn_j, xj, pj)
+            scaling = ProblemScaling.for_ipm(g0, A_e0, A_i0)
+            sc = ScalingArrays(
+                f=jnp.asarray(scaling.f),
+                c_e=jnp.asarray(scaling.c_e),
+                c_i=jnp.asarray(scaling.c_i),
+            )
 
         # Bound detection and conflict check (reference problem.hpp:597-610)
-        c_i0 = _setup_eval(ci_raw_j, xj, pj)
-        bounds = get_bounds(x0, c_i0, A_i0, comp["ineq_row_linear"])
+        with prof.phase("bound detection"):
+            c_i0 = _setup_eval(ci_raw_j, xj, pj)
+            bounds = get_bounds(x0, c_i0, A_i0, comp["ineq_row_linear"])
         if bounds.conflicting_bound_indices:
             return ExitStatus.GLOBALLY_INFEASIBLE, x0
         if self.enable_bound_projection:
@@ -804,7 +882,8 @@ class Problem:
         callbacks = list(self._all_callbacks)
         if spy:
             callbacks.append(self._make_spy_callback(with_inequality=True))
-        state = init(x0, s0, y0, z0, mu0, 0, pj, sc)
+        with prof.phase("initial state"):
+            state = init(x0, s0, y0, z0, mu0, 0, pj, sc)
         state = run_solver(
             state,
             step,
@@ -815,7 +894,9 @@ class Problem:
             start_time=start_time,
             runner=runner,
             diagnostics_fn=self._diagnostics_fn("ipm"),
+            profilers=prof.solve,
         )
+        prof.report()
         self._last_state = state
         return ExitStatus(int(state.status)), np.asarray(state.x)
 

@@ -58,13 +58,21 @@ def run_solver(
     diagnostics_fn: Callable | None = None,
     start_time: float | None = None,
     runner: Callable | None = None,
+    profilers: dict | None = None,
 ):
     """Drive `step` until the state's status leaves RUNNING.
+
+    `profilers`, when given, is a dict of SolveProfilers keyed "solve",
+    "iterate", "restoration", "callbacks" (reference SolveProfiler usage,
+    interior_point.hpp:155-237); segments are timed with a device sync so
+    the numbers mean wall time, not dispatch time.
 
     Returns the final state (with a terminal ExitStatus in .status).
     """
     if start_time is None:
         start_time = time.monotonic()
+    if profilers is not None:
+        profilers["solve"].start()
 
     observed = bool(callbacks) or options.diagnostics
     # The observed path runs the SAME compiled chunk runner as the fast
@@ -94,26 +102,40 @@ def run_solver(
             if observed:
                 stop = False
                 if callbacks and info_fn is not None:
+                    if profilers is not None:
+                        profilers["callbacks"].start()
                     info = info_fn(state)
                     for cb in callbacks:
                         if cb(info):
                             stop = True
+                    if profilers is not None:
+                        profilers["callbacks"].stop()
                 if stop:
                     state = state._replace(
                         status=np.int32(int(ExitStatus.CALLBACK_REQUESTED_STOP))
                     )
                     break
                 prev_state = state
+                if profilers is not None:
+                    profilers["iterate"].start()
                 state = runner(
                     state, np.int32(int(state.iterations) + 1)
                 )
+                if profilers is not None:
+                    jax.block_until_ready(state)
+                    profilers["iterate"].stop()
                 if options.diagnostics and diagnostics_fn is not None:
                     diagnostics_fn(prev_state, state)
             else:
                 cap = min(
                     int(state.iterations) + chunk, options.max_iterations
                 )
+                if profilers is not None:
+                    profilers["iterate"].start()
                 state = runner(state, np.int32(cap))
+                if profilers is not None:
+                    jax.block_until_ready(state)
+                    profilers["iterate"].stop()
         elif status == status_codes.FEASIBILITY_RESTORATION_REQUESTED:
             if restoration_handler is None:
                 state = state._replace(
@@ -122,7 +144,11 @@ def run_solver(
                     )
                 )
                 break
+            if profilers is not None:
+                profilers["restoration"].start()
             state = restoration_handler(state, start_time)
+            if profilers is not None:
+                profilers["restoration"].stop()
             if (
                 int(state.status)
                 == status_codes.FEASIBILITY_RESTORATION_REQUESTED
@@ -135,4 +161,6 @@ def run_solver(
                 break
         else:
             break
+    if profilers is not None:
+        profilers["solve"].stop()
     return state

@@ -43,3 +43,59 @@ def test_mishras_bird_function():
     # Global minimum of the constrained Mishra's bird function
     assert result.variables[0] == pytest.approx(-3.1302468, abs=1e-3)
     assert result.variables[1] == pytest.approx(-1.5821422, abs=1e-3)
+
+
+def _bird_problem():
+    problem = Problem()
+    x = problem.decision_variable()
+    y = problem.decision_variable()
+    cost = (
+        slp.sin(y) * slp.exp((1 - slp.cos(x)) ** 2)
+        + slp.cos(x) * slp.exp((1 - slp.sin(y)) ** 2)
+        + (x - y) ** 2
+    )
+    problem.minimize(cost)
+    problem.subject_to((x + 5) ** 2 + (y + 5) ** 2 < 25)
+    return problem, x, y
+
+
+def test_multistart_batched_matches_serial():
+    """Passing a Problem runs all guesses as ONE vmapped device
+    computation (the TPU-native analog of the reference's
+    thread-per-guess, multistart.hpp:54-56), sharded over the mesh."""
+    from sleipnir_tpu.parallel.batch import default_mesh
+
+    guesses = [(-3.0, -8.0), (-3.0, -1.5), (-6.0, -4.0), (-2.0, -6.0)]
+
+    problem, x, y = _bird_problem()
+    result = multistart(
+        problem,
+        [np.asarray(g) for g in guesses],
+        mesh=default_mesh(4),
+    )
+    assert result.status == ExitStatus.SUCCESS
+    assert result.variables[0] == pytest.approx(-3.1302468, abs=1e-3)
+    assert result.variables[1] == pytest.approx(-1.5821422, abs=1e-3)
+
+
+def test_solve_ipm_batched_statuses_and_costs():
+    """Every batch lane solves independently; per-lane results match a
+    serial solve from the same guess."""
+    from sleipnir_tpu.parallel.batch import solve_ipm_batched
+
+    guesses = [np.asarray(g) for g in [(-3.0, -8.0), (-3.0, -1.5)]]
+    problem, x, y = _bird_problem()
+    statuses, costs, xs, _ = solve_ipm_batched(problem, guesses)
+    assert statuses.shape == (2,)
+    assert xs.shape[0] == 2
+
+    for guess, status, cost, xv in zip(guesses, statuses, costs, xs):
+        serial_problem, sx, sy = _bird_problem()
+        sx.set_value(guess[0])
+        sy.set_value(guess[1])
+        serial_status = serial_problem.solve()
+        assert int(status) == int(serial_status)
+        if int(status) == int(ExitStatus.SUCCESS):
+            np.testing.assert_allclose(
+                xv, [sx.value(), sy.value()], atol=1e-6
+            )
