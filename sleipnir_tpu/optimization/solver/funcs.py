@@ -33,25 +33,32 @@ class _Bound:
     constant pruning") doesn't retrace; problem scaling is recomputed at
     every solve's starting point (reference problem.hpp:616) and likewise
     rides along as data.
+
+    When `dtype` is given, every callable's output is cast to it: compiled
+    problem functions carry float64 constants, which would silently
+    promote float32 solver iterates back to float64 (the reference's
+    Scalar template fixes the arithmetic type the same way).
     """
 
-    def __init__(self, funcs, params, scaling) -> None:
+    def __init__(self, funcs, params, scaling, dtype=None) -> None:
         self.params = params
         self.scaling = scaling
         for name in funcs._fields:
             value = getattr(funcs, name)
             if callable(value):
-                value = _bind_one(value, params, scaling)
+                value = _bind_one(value, params, scaling, dtype)
             setattr(self, name, value)
 
 
-def _bind_one(fn, params, scaling):
-    return lambda *args: fn(*args, params, scaling)
+def _bind_one(fn, params, scaling, dtype):
+    if dtype is None:
+        return lambda *args: fn(*args, params, scaling)
+    return lambda *args: jnp.asarray(fn(*args, params, scaling), dtype)
 
 
-def bind(funcs, params, scaling) -> _Bound:
+def bind(funcs, params, scaling, dtype=None) -> _Bound:
     """Bind params and scaling vectors into a callback struct."""
-    return _Bound(funcs, params, scaling)
+    return _Bound(funcs, params, scaling, dtype)
 
 
 class NewtonFunctions(NamedTuple):

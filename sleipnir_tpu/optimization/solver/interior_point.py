@@ -156,7 +156,8 @@ def make_interior_point(
 
     def init(x0, s0, y0, z0, mu0, iterations0, params, scaling) -> IPMState:
         params = jnp.asarray(params, dtype)
-        F = bind(funcs, params, scaling)
+        scaling = ScalingArrays(*(jnp.asarray(a, dtype) for a in scaling))
+        F = bind(funcs, params, scaling, dtype)
         x0 = jnp.asarray(x0, dtype)
         s0 = jnp.asarray(s0, dtype)
         y0 = jnp.asarray(y0, dtype)
@@ -236,7 +237,7 @@ def make_interior_point(
         """Refresh derivatives, the KKT error, and the barrier parameter
         after an accepted step or a restoration return
         (reference :808-862)."""
-        F = bind(funcs, st.params, st.scaling)
+        F = bind(funcs, st.params, st.scaling, dtype)
         g1 = F.g(x1)
         derivs1 = backend.eval_derivs(F, x1, y1, z1)
         AeT_y1 = backend.AeT(derivs1, y1)
@@ -301,7 +302,7 @@ def make_interior_point(
     def resume(st: IPMState, x1, s1, y1, z1, iterations) -> IPMState:
         """Resume the solve after host-side feasibility restoration updated
         the iterates (reference :769-771 then :808-862)."""
-        F = bind(funcs, st.params, st.scaling)
+        F = bind(funcs, st.params, st.scaling, dtype)
         x1 = jnp.asarray(x1, dtype)
         s1 = jnp.asarray(s1, dtype)
         y1 = jnp.asarray(y1, dtype)
@@ -335,7 +336,7 @@ def make_interior_point(
         guard: jnp.ndarray
 
     def iteration_body(st: IPMState) -> IPMState:
-        F = bind(funcs, st.params, st.scaling)
+        F = bind(funcs, st.params, st.scaling, dtype)
         x, s, y, z = st.x, st.s, st.y, st.z
         mu, tau = st.mu, st.tau
         f, c_e, c_i = st.f, st.c_e, st.c_i

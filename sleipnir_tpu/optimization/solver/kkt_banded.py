@@ -122,18 +122,18 @@ class BandedBackend:
         for c in range(2):
             for j in range(m):
                 probes_e[c * m + j, staged[np.arange(K) % 2 == c, j]] = 1.0
-        self._probes_e = jnp.asarray(probes_e)
+        self._probes_e = jnp.asarray(probes_e, dtype)
 
         probes_h = np.zeros((3 * m, n))
         for c in range(3):
             for j in range(m):
                 probes_h[c * m + j, staged[np.arange(K) % 3 == c, j]] = 1.0
-        self._probes_h = jnp.asarray(probes_h)
+        self._probes_h = jnp.asarray(probes_h, dtype)
 
         probes_i = np.zeros((m, n))
         for j in range(m):
             probes_i[j, staged[:, j]] = 1.0
-        self._probes_i = jnp.asarray(probes_i)
+        self._probes_i = jnp.asarray(probes_i, dtype)
 
         # Gather/scatter index constants
         self._var_perm = jnp.asarray(st.var_perm)

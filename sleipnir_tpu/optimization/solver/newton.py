@@ -92,9 +92,10 @@ def make_newton(funcs: NewtonFunctions, options: Options, *, backend=None):
 
     def init(x0, params, scaling, iterations0=0) -> NewtonState:
         params = jnp.asarray(params, dtype)
-        F = bind(funcs, params, scaling)
+        scaling = ScalingArrays(*(jnp.asarray(a, dtype) for a in scaling))
+        F = bind(funcs, params, scaling, dtype)
         x0 = jnp.asarray(x0, dtype)
-        Fi = bind(ipm_funcs, params, scaling)
+        Fi = bind(ipm_funcs, params, scaling, dtype)
         f = F.f(x0)
         g = F.g(x0)
         derivs = backend.eval_derivs(
@@ -138,8 +139,8 @@ def make_newton(funcs: NewtonFunctions, options: Options, *, backend=None):
         guard: jnp.ndarray
 
     def iteration_body(st: NewtonState) -> NewtonState:
-        F = bind(funcs, st.params, st.scaling)
-        Fi = bind(ipm_funcs, st.params, st.scaling)
+        F = bind(funcs, st.params, st.scaling, dtype)
+        Fi = bind(ipm_funcs, st.params, st.scaling, dtype)
         x, f, g = st.x, st.f, st.g
         derivs = st.derivs
         sigma0 = zeros_mi.astype(dtype)

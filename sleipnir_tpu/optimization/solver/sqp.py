@@ -108,14 +108,15 @@ def make_sqp(funcs: SQPFunctions, options: Options, *, backend=None):
 
     def init(x0, params, scaling, y0=None, iterations0=0) -> SQPState:
         params = jnp.asarray(params, dtype)
-        F = bind(funcs, params, scaling)
+        scaling = ScalingArrays(*(jnp.asarray(a, dtype) for a in scaling))
+        F = bind(funcs, params, scaling, dtype)
         x0 = jnp.asarray(x0, dtype)
         y0 = (
             jnp.zeros((me,), dtype)
             if y0 is None
             else jnp.asarray(y0, dtype)
         )
-        Fi = bind(ipm_funcs, params, scaling)
+        Fi = bind(ipm_funcs, params, scaling, dtype)
         f = F.f(x0)
         g = F.g(x0)
         c_e = F.c_e(x0)
@@ -162,8 +163,8 @@ def make_sqp(funcs: SQPFunctions, options: Options, *, backend=None):
     def finish_iteration(st, x1, y1, f1, ce1, iterations):
         """Refresh derivatives, KKT error, and exit conditions after an
         accepted step or restoration return (reference sqp.hpp:560-592)."""
-        F = bind(funcs, st.params, st.scaling)
-        Fi = bind(ipm_funcs, st.params, st.scaling)
+        F = bind(funcs, st.params, st.scaling, dtype)
+        Fi = bind(ipm_funcs, st.params, st.scaling, dtype)
         g1 = F.g(x1)
         derivs1 = backend.eval_derivs(Fi, x1, y1, zeros_mi.astype(dtype))
         E0 = unscaled_kkt_error_sqp_products(
@@ -192,7 +193,7 @@ def make_sqp(funcs: SQPFunctions, options: Options, *, backend=None):
     def resume(st: SQPState, x1, y1, iterations) -> SQPState:
         """Resume after host-side feasibility restoration
         (reference sqp.hpp:544-545 then :560-592)."""
-        F = bind(funcs, st.params, st.scaling)
+        F = bind(funcs, st.params, st.scaling, dtype)
         x1 = jnp.asarray(x1, dtype)
         y1 = jnp.asarray(y1, dtype)
         return finish_iteration(
@@ -215,8 +216,8 @@ def make_sqp(funcs: SQPFunctions, options: Options, *, backend=None):
         guard: jnp.ndarray
 
     def iteration_body(st: SQPState) -> SQPState:
-        F = bind(funcs, st.params, st.scaling)
-        Fi = bind(ipm_funcs, st.params, st.scaling)
+        F = bind(funcs, st.params, st.scaling, dtype)
+        Fi = bind(ipm_funcs, st.params, st.scaling, dtype)
         x, y = st.x, st.y
         f, c_e = st.f, st.c_e
         g, derivs = st.g, st.derivs
