@@ -53,6 +53,7 @@ from sleipnir_tpu.optimization.solver.solve_driver import (
 from sleipnir_tpu.optimization.solver.sqp import make_sqp
 from sleipnir_tpu.optimization.solver.util.bounds import (
     get_bounds,
+    get_bounds_rows,
     project_onto_bounds,
 )
 from sleipnir_tpu.optimization.solver.util.feasibility_restoration import (
@@ -651,8 +652,22 @@ class Problem:
         # Scaling at the starting point (reference problem.hpp:473-477)
         with prof.phase("problem scaling"):
             g0 = _setup_eval(g_fn_j, xj, pj)
-            A_e0 = _setup_eval(A_e_fn_j, xj, pj)
-            scaling = ProblemScaling.for_sqp(g0, A_e0)
+            if hasattr(backend, "setup_rows"):
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    ce_loc, ce_next, _ci_rows, _ci_cols = (
+                        backend.setup_rows(np.asarray(x0), np.asarray(pj))
+                    )
+                ce_inf = np.maximum(
+                    np.max(np.abs(ce_loc), axis=1, initial=0.0),
+                    np.max(np.abs(ce_next), axis=1, initial=0.0),
+                )
+                scaling = ProblemScaling.from_row_norms(
+                    g0, ce_inf, np.zeros(0)
+                )
+            else:
+                A_e0 = _setup_eval(A_e_fn_j, xj, pj)
+                scaling = ProblemScaling.for_sqp(g0, A_e0)
             sc = ScalingArrays(
                 f=jnp.asarray(scaling.f),
                 c_e=jnp.asarray(scaling.c_e),
@@ -799,8 +814,20 @@ class Problem:
 
     def compute_ipm_scaling(self, comp, cached, x0, params):
         """Problem scaling at a starting point (reference problem.hpp:612-616)."""
-        (_i, _s, _r, _f, _run, g_fn_j, A_e_fn_j, A_i_fn_j, _ci, _b) = cached
+        (_i, _s, _r, _f, _run, g_fn_j, A_e_fn_j, A_i_fn_j, _ci, backend) = cached
         g0 = _setup_eval(g_fn_j, x0, params)
+        if hasattr(backend, "setup_rows"):
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                ce_loc, ce_next, ci_rows, _ci_cols = backend.setup_rows(
+                    np.asarray(x0), np.asarray(params)
+                )
+            ce_inf = np.maximum(
+                np.max(np.abs(ce_loc), axis=1, initial=0.0),
+                np.max(np.abs(ce_next), axis=1, initial=0.0),
+            )
+            ci_inf = np.max(np.abs(ci_rows), axis=1, initial=0.0)
+            return ProblemScaling.from_row_norms(g0, ce_inf, ci_inf), None
         A_e0 = _setup_eval(A_e_fn_j, x0, params)
         A_i0 = _setup_eval(A_i_fn_j, x0, params)
         scaling = ProblemScaling.for_ipm(g0, A_e0, A_i0)
@@ -825,12 +852,29 @@ class Problem:
             backend,
         ) = cached
 
-        # Scaling at the starting point (reference problem.hpp:612-616)
+        # Scaling at the starting point (reference problem.hpp:612-616).
+        # Stage-structured problems use the matrix-free row-norm path
+        # (O(N·w) memory); only irregular problems materialize dense
+        # Jacobians.
+        matrix_free = hasattr(backend, "setup_rows")
         with prof.phase("problem scaling"):
             g0 = _setup_eval(g_fn_j, xj, pj)
-            A_e0 = _setup_eval(A_e_fn_j, xj, pj)
-            A_i0 = _setup_eval(A_i_fn_j, xj, pj)
-            scaling = ProblemScaling.for_ipm(g0, A_e0, A_i0)
+            if matrix_free:
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    ce_loc, ce_next, ci_rows, ci_cols = backend.setup_rows(
+                        np.asarray(x0), np.asarray(params)
+                    )
+                ce_inf = np.maximum(
+                    np.max(np.abs(ce_loc), axis=1, initial=0.0),
+                    np.max(np.abs(ce_next), axis=1, initial=0.0),
+                )
+                ci_inf = np.max(np.abs(ci_rows), axis=1, initial=0.0)
+                scaling = ProblemScaling.from_row_norms(g0, ce_inf, ci_inf)
+            else:
+                A_e0 = _setup_eval(A_e_fn_j, xj, pj)
+                A_i0 = _setup_eval(A_i_fn_j, xj, pj)
+                scaling = ProblemScaling.for_ipm(g0, A_e0, A_i0)
             sc = ScalingArrays(
                 f=jnp.asarray(scaling.f),
                 c_e=jnp.asarray(scaling.c_e),
@@ -840,7 +884,14 @@ class Problem:
         # Bound detection and conflict check (reference problem.hpp:597-610)
         with prof.phase("bound detection"):
             c_i0 = _setup_eval(ci_raw_j, xj, pj)
-            bounds = get_bounds(x0, c_i0, A_i0, comp["ineq_row_linear"])
+            if matrix_free:
+                bounds = get_bounds_rows(
+                    x0, c_i0, ci_cols, ci_rows, comp["ineq_row_linear"]
+                )
+            else:
+                bounds = get_bounds(
+                    x0, c_i0, A_i0, comp["ineq_row_linear"]
+                )
         if bounds.conflicting_bound_indices:
             return ExitStatus.GLOBALLY_INFEASIBLE, x0
         if self.enable_bound_projection:

@@ -240,6 +240,57 @@ class BandedBackend:
 
         return BandedDerivs(Hd=Hd, Hc=Hc, Aloc=Aloc, Anext=Anext, Ailoc=Ailoc)
 
+    def setup_rows(self, x0, params):
+        """Per-row Jacobian data at x0 for setup (scaling + bound
+        detection), via the colored JVP probes — O(N·w) memory, never a
+        dense (m, n) matrix (reference problem_scaling.hpp:58-110 computes
+        row norms from sparse triplets the same way).
+
+        Returns numpy arrays (unscaled):
+          ce_rows_loc (me, m), ce_rows_next (me, m): equality row entries
+            wrt the anchor stage's and next stage's variables;
+          ci_rows (mi, m): inequality row entries wrt the row's stage;
+          ci_cols (mi, m): global column index of each ci_rows entry.
+        """
+        x = jnp.asarray(x0, self.dtype)
+        params = jnp.asarray(params, self.dtype)
+        m = self.m
+        staged_cols = np.asarray(self.structure.var_perm).reshape(
+            self.K, m
+        )
+
+        if self.me > 0:
+            def jvp_e(v):
+                return jax.jvp(
+                    lambda xv: self.ce_raw(xv, params), (x,), (v,)
+                )[1]
+
+            Ue = jax.vmap(jvp_e)(self._probes_e)  # (2m, me)
+            r_idx = jnp.arange(self.me)
+            j_idx = jnp.arange(m)
+            loc_p = (self._ce_stage % 2)[:, None] * m + j_idx[None, :]
+            ce_rows_loc = np.asarray(Ue[loc_p, r_idx[:, None]])
+            next_p = ((self._ce_stage + 1) % 2)[:, None] * m + j_idx[None, :]
+            ce_rows_next = np.asarray(Ue[next_p, r_idx[:, None]])
+        else:
+            ce_rows_loc = np.zeros((0, m))
+            ce_rows_next = np.zeros((0, m))
+
+        if self.mi > 0:
+            def jvp_i(v):
+                return jax.jvp(
+                    lambda xv: self.ci_raw(xv, params), (x,), (v,)
+                )[1]
+
+            Ui = jax.vmap(jvp_i)(self._probes_i)  # (m, mi)
+            ci_rows = np.asarray(Ui.T)
+            ci_cols = staged_cols[np.asarray(self.structure.ci_stage)]
+        else:
+            ci_rows = np.zeros((0, m))
+            ci_cols = np.zeros((0, m), dtype=np.int64)
+
+        return ce_rows_loc, ce_rows_next, ci_rows, ci_cols
+
     def all_finite(self, d: BandedDerivs):
         return (
             jnp.all(jnp.isfinite(d.Hd))

@@ -79,6 +79,57 @@ def get_bounds(
     )
 
 
+def get_bounds_rows(
+    x0: np.ndarray,
+    c_i0: np.ndarray,
+    ci_cols: np.ndarray,
+    ci_vals: np.ndarray,
+    row_is_linear: np.ndarray,
+) -> Bounds:
+    """Bound detection from per-row sparse Jacobian data — the matrix-free
+    setup path for stage-structured problems. `ci_cols`/`ci_vals` are
+    (mi, w) arrays giving each inequality row's candidate column indices
+    and coefficients (reference bounds.hpp:55-184 works off sparse row
+    iterators the same way)."""
+    n = x0.shape[0]
+    mi = c_i0.shape[0]
+    lower = np.full(n, -math.inf)
+    upper = np.full(n, math.inf)
+    lower_idx = np.full(n, -1, dtype=np.int64)
+    upper_idx = np.full(n, -1, dtype=np.int64)
+    mask = np.zeros(mi, dtype=bool)
+    conflicts: list[tuple[int, int]] = []
+
+    for row in range(mi):
+        if not row_is_linear[row]:
+            continue
+        nz = np.nonzero(ci_vals[row])[0]
+        if nz.shape[0] != 1:
+            continue
+        j = int(ci_cols[row, nz[0]])
+        a = ci_vals[row, nz[0]]
+        b = c_i0[row] - a * x0[j]
+        if not (np.isfinite(a) and np.isfinite(b)) or a == 0.0:
+            continue
+        detected = -b / a
+        if a < 0.0 and detected < upper[j]:
+            upper[j] = detected
+            upper_idx[j] = row
+        elif a > 0.0 and detected > lower[j]:
+            lower[j] = detected
+            lower_idx[j] = row
+        if lower[j] > upper[j]:
+            conflicts.append((int(lower_idx[j]), int(upper_idx[j])))
+        mask[row] = True
+
+    return Bounds(
+        bound_constraint_mask=mask,
+        lower=lower,
+        upper=upper,
+        conflicting_bound_indices=conflicts,
+    )
+
+
 def project_onto_bounds(
     x: np.ndarray,
     lower: np.ndarray,

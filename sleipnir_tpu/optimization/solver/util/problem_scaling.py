@@ -33,7 +33,10 @@ class ProblemScaling:
     def _row_scale(a: np.ndarray) -> np.ndarray:
         if a.shape[0] == 0:
             return np.zeros(0)
-        inf_norms = np.max(np.abs(a), axis=1)
+        return ProblemScaling._scale_from_inf(np.max(np.abs(a), axis=1))
+
+    @staticmethod
+    def _scale_from_inf(inf_norms: np.ndarray) -> np.ndarray:
         with np.errstate(divide="ignore"):
             return np.minimum(1.0, G_MAX / inf_norms)
 
@@ -56,6 +59,18 @@ class ProblemScaling:
     ) -> "ProblemScaling":
         out = cls.for_sqp(g, A_e)
         out.c_i = cls._row_scale(A_i)
+        return out
+
+    @classmethod
+    def from_row_norms(
+        cls, g: np.ndarray, ce_inf: np.ndarray, ci_inf: np.ndarray
+    ) -> "ProblemScaling":
+        """Build scaling from precomputed per-row Jacobian ∞-norms — the
+        matrix-free setup path (reference problem_scaling.hpp:58-110
+        computes the same quantities from sparse triplets)."""
+        out = cls.for_newton(g)
+        out.c_e = cls._scale_from_inf(np.asarray(ce_inf))
+        out.c_i = cls._scale_from_inf(np.asarray(ci_inf))
         return out
 
     def is_identity(self) -> bool:
