@@ -437,9 +437,24 @@ class OCP(Problem):
             dtype,
         )
 
+    @staticmethod
+    def _dense_fallback(reason: str):
+        """The O(N) banded path is a performance contract users rely on at
+        long horizons; falling back to the dense O(N³) factorization must
+        be audible (round-2 review: silent fallbacks hid the loss)."""
+        import warnings  # noqa: PLC0415
+
+        warnings.warn(
+            f"OCP does not fit the block-tridiagonal KKT structure "
+            f"({reason}); using the dense factorization, which does not "
+            f"scale with the horizon length",
+            stacklevel=4,
+        )
+        return None
+
     def _stage_structure(self, comp):
         """Derive the stage assignment of every variable and constraint row,
-        or None if the problem doesn't fit the band."""
+        or None (with a warning) if the problem doesn't fit the band."""
         from sleipnir_tpu.autodiff.expression import element_stages  # noqa: PLC0415
         from sleipnir_tpu.optimization.problem import _FnBlock  # noqa: PLC0415
         from sleipnir_tpu.optimization.solver.kkt_banded import (  # noqa: PLC0415
@@ -447,27 +462,35 @@ class OCP(Problem):
         )
 
         if self._transcription_method == TranscriptionMethod.SINGLE_SHOOTING:
+            # Single shooting has no per-stage state variables at all; the
+            # dense path is the natural one — no warning.
             return None
         if self._timestep_method != TimestepMethod.FIXED:
-            return None
+            return self._dense_fallback(
+                "variable timesteps add non-stage decision variables"
+            )
 
         ns, ni, N = self._num_states, self._num_inputs, self._num_steps
         K = N + 1
         m = ns + ni
         all_ids = comp["all_ids"]
         if all_ids.shape[0] != K * m:
-            return None  # extra decision variables outside the stages
+            return self._dense_fallback(
+                "extra decision variables outside the X/U stages"
+            )
 
         from sleipnir_tpu.autodiff.expression import DecVarExpr  # noqa: PLC0415
 
         if not isinstance(self._X.expr, DecVarExpr) or not isinstance(
             self._U.expr, DecVarExpr
         ):
-            return None  # X/U were overwritten with expressions
+            return self._dense_fallback(
+                "X/U were overwritten with expressions"
+            )
         x_ids = self._X.expr.ids  # (ns, K)
         u_ids = self._U.expr.ids  # (ni, K)
         if x_ids.shape != (ns, K) or u_ids.shape != (ni, K):
-            return None
+            return self._dense_fallback("X/U shape mismatch")
 
         stage_of_id = {}
         for k in range(K):
@@ -507,9 +530,11 @@ class OCP(Problem):
         ce_stage = classify(self._equality)
         ci_stage = classify(self._inequality)
         if ce_stage is None or ci_stage is None:
-            return None
+            return self._dense_fallback(
+                "a constraint row couples non-adjacent stages"
+            )
         if ce_stage.shape[0] != comp["me"] or ci_stage.shape[0] != comp["mi"]:
-            return None
+            return self._dense_fallback("constraint row count mismatch")
 
         def slots(stages):
             counters = np.zeros(K, dtype=np.int64)
@@ -522,7 +547,9 @@ class OCP(Problem):
         ce_slot, p = slots(ce_stage)
         ci_slot, q = slots(ci_stage)
         if p > 4 * m or q > 8 * m:
-            return None  # pathologically uneven stages; dense is better
+            return self._dense_fallback(
+                "pathologically uneven per-stage constraint counts"
+            )
 
         return StageStructure(
             num_stages=K,

@@ -909,18 +909,18 @@ class Problem:
         mu0 = 0.1 * scaling.f
 
         def restoration_handler(state, st_time):
-            # The restoration subproblem is solved with the dense backend;
-            # for very large structured problems that's intractable, so
-            # report failure instead of thrashing (structured restoration
-            # is future work).
-            if comp["n"] + 2 * comp["me"] + 2 * comp["mi"] > 6000:
-                return state._replace(
-                    status=np.int32(
-                        int(ExitStatus.FEASIBILITY_RESTORATION_FAILED)
-                    )
-                )
+            # Stage-banded problems restore on a banded backend of their
+            # own (the relaxation variables are stage-local), so
+            # restoration scales O(N) like the parent solve; dense
+            # problems restore densely.
             outcome, x_n, s_n, y_n, z_n, iters = restore(
-                funcs, state, options, start_time=st_time
+                funcs,
+                state,
+                options,
+                start_time=st_time,
+                parent_backend=backend
+                if hasattr(backend, "structure")
+                else None,
             )
             if outcome == "resume":
                 return resume(state, x_n, s_n, y_n, z_n, iters)

@@ -57,8 +57,17 @@ def restore(
     *,
     base_mu: float | None = None,
     start_time: float | None = None,
+    parent_backend=None,
 ):
     """Run feasibility restoration for an IPM (or SQP via mi=0) parent.
+
+    When `parent_backend` is a BandedBackend, the restoration subproblem
+    is itself solved on a banded backend: the relaxation variables
+    pₑ/nₑ/pᵢ/nᵢ are stage-local (each belongs to its constraint row's
+    stage), so the augmented problem stays block-tridiagonal with stage
+    width m + 2p + 2q and restoration scales O(N) like the parent
+    (reference feasibility_restoration.hpp:347-628 keeps the same sparse
+    structure through Eigen).
 
     Returns (outcome, x, s, y, z, iterations) where outcome is one of
     "resume" (parent continues), or a terminal ExitStatus.
@@ -119,6 +128,33 @@ def restore(
 
     D_r_j = jnp.asarray(D_r)
     x_r_j = jnp.asarray(x_r)
+
+    use_banded = parent_backend is not None and hasattr(
+        parent_backend, "structure"
+    )
+    if use_banded:
+        return _restore_banded(
+            parent,
+            parent_state,
+            options,
+            parent_backend,
+            x_r,
+            s_r,
+            c_e0,
+            c_i0,
+            mu,
+            fr_mu,
+            zeta,
+            D_r_j,
+            x_r_j,
+            p_e0,
+            n_e0,
+            p_i0,
+            n_i0,
+            alpha,
+            iterations0,
+            start_time,
+        )
 
     def fr_f(xp, params, scaling):
         xx = xp[:n]
@@ -326,3 +362,267 @@ def lagrange_multiplier_estimate(
     if mi > 0:
         z = np.clip(z, mu / (KAPPA_SIGMA * s), KAPPA_SIGMA * mu / s)
     return y, z
+
+
+def _restore_banded(
+    parent,
+    parent_state,
+    options,
+    parent_backend,
+    x_r,
+    s_r,
+    c_e0,
+    c_i0,
+    mu,
+    fr_mu,
+    zeta,
+    D_r_j,
+    x_r_j,
+    p_e0,
+    n_e0,
+    p_i0,
+    n_i0,
+    alpha,
+    iterations0,
+    start_time,
+):
+    """Stage-banded feasibility restoration (see restore())."""
+    from sleipnir_tpu.optimization.solver.kkt_banded import (
+        BandedBackend,
+        StageStructure,
+    )
+
+    n = parent.num_decision_variables
+    me = parent.num_equality_constraints
+    mi = parent.num_inequality_constraints
+    st = parent_backend.structure
+    K, m, p, q = st.num_stages, st.stage_width, st.eq_pad, st.ineq_pad
+    e2 = 2 * (p + q)  # relaxation slots per stage (incl. padded slots)
+    m2 = m + e2
+    N2 = K * m2
+    MI2 = mi + K * e2
+
+    ce_stage = np.asarray(st.ce_stage)
+    ce_slot = np.asarray(st.ce_slot)
+    ci_stage = np.asarray(st.ci_stage)
+    ci_slot = np.asarray(st.ci_slot)
+
+    # Flat layout: [x (n); extras (K·e2, stage-major)] with per-stage extras
+    # ordered [p_e (p), n_e (p), p_i (q), n_i (q)]. Padded slots become
+    # dummy variables with their own ≥0 rows — they cost ρ·t, start at
+    # fr_μ, and decay with the barrier; keeping them preserves a uniform
+    # stage width.
+    pe_idx = n + ce_stage * e2 + ce_slot
+    ne_idx = n + ce_stage * e2 + p + ce_slot
+    pi_idx = n + ci_stage * e2 + 2 * p + ci_slot
+    ni_idx = n + ci_stage * e2 + 2 * p + q + ci_slot
+    pe_idx_j = jnp.asarray(pe_idx)
+    ne_idx_j = jnp.asarray(ne_idx)
+    pi_idx_j = jnp.asarray(pi_idx)
+    ni_idx_j = jnp.asarray(ni_idx)
+
+    parent_sc = parent_state.scaling
+    ones_sc = ScalingArrays(
+        f=jnp.asarray(1.0),
+        c_e=jnp.ones(me),
+        c_i=jnp.ones(mi),
+    )
+
+    def fr_f_raw(xp, prm):
+        xx = xp[:n]
+        diff = xx - x_r_j
+        return RHO * jnp.sum(xp[n:]) + 0.5 * zeta * diff @ (D_r_j * diff)
+
+    def fr_ce_raw(xp, prm):
+        base = parent.c_e(xp[:n], prm, ones_sc)
+        if me == 0:
+            return base
+        return base - xp[pe_idx_j] + xp[ne_idx_j]
+
+    def fr_ci_raw(xp, prm):
+        top = parent.c_i(xp[:n], prm, ones_sc)
+        if mi > 0:
+            top = top - xp[pi_idx_j] + xp[ni_idx_j]
+        return jnp.concatenate([top, xp[n:]])
+
+    # Stage structure of the augmented problem
+    parent_staged = np.asarray(st.var_perm).reshape(K, m)
+    var_perm2 = np.empty(N2, dtype=np.int64)
+    for k in range(K):
+        var_perm2[k * m2 : k * m2 + m] = parent_staged[k]
+        var_perm2[k * m2 + m : (k + 1) * m2] = (
+            n + k * e2 + np.arange(e2)
+        )
+    ci_stage2 = np.concatenate(
+        [ci_stage, np.repeat(np.arange(K), e2)]
+    ).astype(ci_stage.dtype if mi else np.int64)
+    ci_slot2 = np.concatenate(
+        [ci_slot, np.tile(q + np.arange(e2), K)]
+    ).astype(ci_slot.dtype if mi else np.int64)
+    fr_structure = StageStructure(
+        num_stages=K,
+        stage_width=m2,
+        var_perm=var_perm2,
+        ce_stage=ce_stage,
+        ce_slot=ce_slot,
+        eq_pad=max(p, 1),
+        ci_stage=ci_stage2,
+        ci_slot=ci_slot2,
+        ineq_pad=q + e2,
+    )
+    dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
+    fr_backend = BandedBackend(
+        fr_structure, fr_f_raw, fr_ce_raw, fr_ci_raw, N2, me, MI2, dtype
+    )
+
+    def _raise(*_a, **_k):  # pragma: no cover - dense callbacks unused
+        raise NotImplementedError(
+            "banded restoration never materializes dense derivatives"
+        )
+
+    fr_funcs = IPMFunctions(
+        num_decision_variables=N2,
+        num_equality_constraints=me,
+        num_inequality_constraints=MI2,
+        f=lambda xp, prm, sc: sc.f * fr_f_raw(xp, prm),
+        g=lambda xp, prm, sc: sc.f
+        * jnp.concatenate(
+            [
+                zeta * D_r_j * (xp[:n] - x_r_j),
+                jnp.full((N2 - n,), RHO, xp.dtype),
+            ]
+        ),
+        H=_raise,
+        H_c=_raise,
+        c_e=lambda xp, prm, sc: sc.c_e * fr_ce_raw(xp, prm),
+        A_e=_raise,
+        c_i=lambda xp, prm, sc: sc.c_i * fr_ci_raw(xp, prm),
+        A_i=_raise,
+    )
+
+    fr_scaling = ScalingArrays(
+        f=jnp.asarray(1.0),
+        c_e=jnp.asarray(parent_sc.c_e),
+        c_i=jnp.concatenate(
+            [jnp.asarray(parent_sc.c_i), jnp.ones(K * e2)]
+        ),
+    )
+
+    # Starting point: dummies at fr_μ with synchronized slacks
+    extras0 = np.full(K * e2, fr_mu)
+    fr_x0 = np.concatenate([x_r, extras0])
+    fr_x0[pe_idx] = p_e0
+    fr_x0[ne_idx] = n_e0
+    fr_x0[pi_idx] = p_i0
+    fr_x0[ni_idx] = n_i0
+    fr_s0 = np.concatenate([s_r, fr_x0[n:]])
+    fr_y0 = np.zeros(me)
+    with np.errstate(divide="ignore"):
+        fr_z0 = np.concatenate([fr_mu / s_r, fr_mu / fr_x0[n:]])
+
+    # Early-stop check (same as the dense path)
+    parent_filter = parent_state.filt
+    parent_g = jnp.asarray(parent_state.g)
+    s_r_j = jnp.asarray(s_r)
+    init_cost = parent_state.f - mu * jnp.sum(jnp.log(jnp.asarray(s_r)))
+    init_viol = float(np.sum(np.abs(c_e0)) + np.sum(np.abs(c_i0 - s_r)))
+
+    def stop_check(rst):
+        tx = rst.x[:n]
+        ts = rst.s[:mi]
+        tf = parent.f(tx, rst.params, parent_sc)
+        tce = parent.c_e(tx, rst.params, parent_sc)
+        tci = parent.c_i(tx, rst.params, parent_sc)
+        trial_cost = tf - mu * jnp.sum(jnp.log(ts))
+        trial_viol = jnp.sum(jnp.abs(tce)) + jnp.sum(jnp.abs(tci - ts))
+        D_phi_r = parent_g @ (tx - x_r_j) - mu * jnp.sum(
+            (ts - s_r_j) / s_r_j
+        )
+        acc, _ = try_add(
+            parent_filter,
+            init_cost,
+            init_viol,
+            trial_cost,
+            trial_viol,
+            D_phi_r,
+            alpha,
+        )
+        return (trial_viol < 0.9 * init_viol) & acc
+
+    fr_init, fr_step, _ = make_interior_point(
+        fr_funcs,
+        options,
+        in_feasibility_restoration=True,
+        stop_check=stop_check,
+        backend=fr_backend,
+    )
+
+    state = fr_init(
+        fr_x0,
+        fr_s0,
+        fr_y0,
+        fr_z0,
+        fr_mu,
+        iterations0,
+        parent_state.params,
+        fr_scaling,
+    )
+    state = run_solver(state, fr_step, options, start_time=start_time)
+
+    status = ExitStatus(int(state.status))
+    x_new = np.asarray(state.x[:n])
+    s_new = np.asarray(state.s[:mi])
+    iterations_out = int(state.iterations)
+
+    def resume_duals(x_res, s_res):
+        # Dense least-squares dual estimation is O(m²n) — fine for small
+        # problems, prohibitive at long horizons; reset duals there and
+        # let the parent IPM re-estimate within a few iterations.
+        pj = parent_state.params
+        if n + mi <= 6000:
+            g_new = np.asarray(parent.g(jnp.asarray(x_res), pj, parent_sc))
+            A_e_new = np.asarray(
+                parent.A_e(jnp.asarray(x_res), pj, parent_sc)
+            )
+            A_i_new = np.asarray(
+                parent.A_i(jnp.asarray(x_res), pj, parent_sc)
+            )
+            y_est, z_est = lagrange_multiplier_estimate(
+                g_new, A_e_new, A_i_new, s_res, mu
+            )
+        else:
+            y_est = np.zeros(me)
+            z_est = (
+                np.clip(mu / s_res, mu / 1e10, 1e10) if mi else np.zeros(0)
+            )
+        return "resume", x_res, s_res, y_est, z_est, iterations_out
+
+    if status == ExitStatus.CALLBACK_REQUESTED_STOP:
+        return resume_duals(x_new, s_new)
+    if status == ExitStatus.SUCCESS:
+        # Same parent-feasibility check as the dense path (see restore()).
+        pj = parent_state.params
+        ce_new = np.asarray(parent.c_e(jnp.asarray(x_new), pj, parent_sc))
+        ci_new = np.asarray(parent.c_i(jnp.asarray(x_new), pj, parent_sc))
+        eps_feas = max(options.tolerance * 100.0, 1e-10)
+        ce_ok = ce_new.shape[0] == 0 or np.max(np.abs(ce_new)) <= eps_feas
+        ci_ok = ci_new.shape[0] == 0 or np.min(ci_new) >= -eps_feas
+        if ce_ok and ci_ok:
+            s_res = np.maximum(ci_new, mu) if mi > 0 else s_new
+            return resume_duals(x_new, s_res)
+        return (
+            ExitStatus.LOCALLY_INFEASIBLE,
+            x_new,
+            s_new,
+            None,
+            None,
+            iterations_out,
+        )
+    return (
+        ExitStatus.FEASIBILITY_RESTORATION_FAILED,
+        x_new,
+        s_new,
+        None,
+        None,
+        iterations_out,
+    )
