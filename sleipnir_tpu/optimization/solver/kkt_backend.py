@@ -129,11 +129,14 @@ def regularization_loop(
             failed=overflow & ~ideal,
         )
 
+    # When the unregularized factorization already has ideal inertia (the
+    # common case at most iterations), skip the escalation loop entirely —
+    # entering it would pay one full extra factorization.
     init = Carry(
         fac=fac0,
         delta=delta0,
         gamma=gamma0,
-        done=jnp.asarray(False),
+        done=unregularized_ok,
         failed=jnp.asarray(False),
     )
     out = lax.while_loop(cond, body, init)

@@ -78,9 +78,15 @@ class BandedFactor(NamedTuple):
 def _use_bcr(num_stages: int) -> bool:
     """Parallel block cyclic reduction pays off on accelerators, where the
     sequential scan is latency-bound; on CPU the scan's lower flop count
-    wins at every size measured."""
+    wins at every size measured. SLEIPNIR_TPU_BCR=0/1 overrides (the scan
+    path compiles O(1) in the horizon; BCR unrolls log2(K) levels)."""
+    import os  # noqa: PLC0415
+
     import jax  # noqa: PLC0415
 
+    override = os.environ.get("SLEIPNIR_TPU_BCR")
+    if override is not None:
+        return override != "0"
     if jax.default_backend() == "cpu":
         return False
     return num_stages >= 32

@@ -297,19 +297,29 @@ def restore(
     if status == ExitStatus.SUCCESS:
         # Restoration converged. The reference translates this directly to
         # LOCALLY_INFEASIBLE (reference :623-624), but that misdiagnoses
-        # the case where the *parent iterate is already feasible* and the
-        # line search stalled for a different reason (e.g. slack drift):
-        # the restoration subproblem then converges trivially at a
-        # feasible point. Check parent feasibility at the restored x
-        # first, and if feasible, resume with resynchronized slacks and
-        # re-estimated duals instead of declaring infeasibility.
+        # two cases: (a) the parent iterate was already feasible and the
+        # line search stalled for another reason (e.g. slack drift) — the
+        # restoration subproblem then converges trivially; (b) restoration
+        # genuinely reduced the parent violation, meaning the violation
+        # minimizer has NOT been reached and the problem is not provably
+        # locally infeasible (Ipopt only declares infeasibility when
+        # restoration converges to a stationary point of the violation).
+        # Resume in both cases; declare infeasibility only when
+        # restoration converged without meaningful progress.
         pj = parent_state.params
         ce_new = np.asarray(parent.c_e(jnp.asarray(x_new), pj, parent_sc))
         ci_new = np.asarray(parent.c_i(jnp.asarray(x_new), pj, parent_sc))
         eps_feas = max(options.tolerance * 100.0, 1e-10)
         ce_ok = ce_new.shape[0] == 0 or np.max(np.abs(ce_new)) <= eps_feas
         ci_ok = ci_new.shape[0] == 0 or np.min(ci_new) >= -eps_feas
-        if ce_ok and ci_ok:
+        theta_old = np.sum(np.abs(c_e0)) + np.sum(
+            np.abs(np.minimum(c_i0, 0.0))
+        )
+        theta_new = np.sum(np.abs(ce_new)) + np.sum(
+            np.abs(np.minimum(ci_new, 0.0))
+        )
+        improved = theta_new < 0.1 * theta_old
+        if (ce_ok and ci_ok) or improved:
             s_res = (
                 np.maximum(ci_new, mu) if mi > 0 else s_new
             )
@@ -600,14 +610,22 @@ def _restore_banded(
     if status == ExitStatus.CALLBACK_REQUESTED_STOP:
         return resume_duals(x_new, s_new)
     if status == ExitStatus.SUCCESS:
-        # Same parent-feasibility check as the dense path (see restore()).
+        # Same parent-feasibility / progress check as the dense path (see
+        # restore()).
         pj = parent_state.params
         ce_new = np.asarray(parent.c_e(jnp.asarray(x_new), pj, parent_sc))
         ci_new = np.asarray(parent.c_i(jnp.asarray(x_new), pj, parent_sc))
         eps_feas = max(options.tolerance * 100.0, 1e-10)
         ce_ok = ce_new.shape[0] == 0 or np.max(np.abs(ce_new)) <= eps_feas
         ci_ok = ci_new.shape[0] == 0 or np.min(ci_new) >= -eps_feas
-        if ce_ok and ci_ok:
+        theta_old = np.sum(np.abs(c_e0)) + np.sum(
+            np.abs(np.minimum(c_i0, 0.0))
+        )
+        theta_new = np.sum(np.abs(ce_new)) + np.sum(
+            np.abs(np.minimum(ci_new, 0.0))
+        )
+        improved = theta_new < 0.1 * theta_old
+        if (ce_ok and ci_ok) or improved:
             s_res = np.maximum(ci_new, mu) if mi > 0 else s_new
             return resume_duals(x_new, s_res)
         return (
