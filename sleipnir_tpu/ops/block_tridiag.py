@@ -31,6 +31,57 @@ from jax.scipy.linalg import solve_triangular
 from sleipnir_tpu.ops.ldlt import _ldlt_unblocked
 
 
+def _lu_pivoted(A):
+    """Row-pivoted LU in LAPACK lu_factor convention (LU packed, piv[k] =
+    row swapped with k at step k), built from pure elementwise/matmul ops.
+
+    XLA:TPU has no f64 LuDecomposition custom call, so the accelerator
+    path cannot use jax.scipy.linalg.lu_factor; this compiles to plain
+    arithmetic on any backend. O(w) sequential steps for a (w, w) block —
+    w is the small stage width, not the horizon."""
+    n = A.shape[0]
+    idx = jnp.arange(n)
+
+    def body(k, carry):
+        LU, piv = carry
+        col = jnp.where(idx < k, -jnp.inf, jnp.abs(LU[:, k]))
+        p = jnp.argmax(col)
+        piv = piv.at[k].set(p.astype(jnp.int32))
+        row_k = LU[k]
+        row_p = LU[p]
+        LU = LU.at[k].set(row_p).at[p].set(row_k)
+        pivot = LU[k, k]
+        pivot_safe = jnp.where(pivot == 0.0, 1.0, pivot)
+        factors = jnp.where(idx > k, LU[:, k] / pivot_safe, 0.0)
+        # Update only the trailing columns (> k): earlier columns hold
+        # finished L factors and the pivot column becomes the factors.
+        row_vals = jnp.where(idx > k, LU[k], 0.0)
+        LU = LU - jnp.outer(factors, row_vals)
+        LU = LU.at[:, k].set(jnp.where(idx > k, factors, LU[:, k]))
+        return LU, piv
+
+    piv0 = jnp.zeros((n,), jnp.int32)
+    return lax.fori_loop(0, n, body, (A, piv0))
+
+
+def _block_factor(S):
+    """Pivoted LU of one (w, w) block: LAPACK on CPU, handmade on TPU."""
+    if jax.default_backend() == "cpu":
+        from jax.scipy.linalg import lu_factor  # noqa: PLC0415
+
+        return lu_factor(S)
+    return _lu_pivoted(S)
+
+
+def _block_solve_fresh(S, B):
+    """Solve S X = B for one block without keeping the factorization."""
+    if jax.default_backend() == "cpu":
+        return jnp.linalg.solve(S, B)
+    from jax.scipy.linalg import lu_solve  # noqa: PLC0415
+
+    return lu_solve(_lu_pivoted(S), B)
+
+
 class BlockTridiagFactor(NamedTuple):
     """Factor of a block-tridiagonal symmetric matrix.
 
@@ -57,13 +108,11 @@ def block_tridiag_factor(D: jnp.ndarray, E: jnp.ndarray) -> BlockTridiagFactor:
     per-stage LDLᵀ factors needed for pivots (inertia) and the diagonal
     solves are then computed for ALL stages at once with a vmapped
     unblocked LDLᵀ — data-parallel, not sequential."""
-    from jax.scipy.linalg import lu_factor  # noqa: PLC0415
-
     nblocks, w, _ = D.shape
 
     if nblocks == 1:
         _l0, d0 = _ldlt_unblocked(D[0])
-        lu0, piv0 = lu_factor(D[0])
+        lu0, piv0 = _block_factor(D[0])
         return BlockTridiagFactor(
             lu=lu0[None],
             piv=piv0[None],
@@ -74,14 +123,14 @@ def block_tridiag_factor(D: jnp.ndarray, E: jnp.ndarray) -> BlockTridiagFactor:
     def step(S, inputs):
         Dk1, Ek = inputs
         # X = Sₖ⁻¹ Eₖᵀ; Wₖ = Eₖ Sₖ⁻¹ = Xᵀ
-        X = jnp.linalg.solve(S, Ek.T)
+        X = _block_solve_fresh(S, Ek.T)
         S_next = Dk1 - Ek @ X
         return S_next, (S, X)
 
     S_last, (Ss, Xs) = lax.scan(step, D[0], (D[1:], E))
     S_all = jnp.concatenate([Ss, S_last[None]], axis=0)
     _l_all, d = jax.vmap(_ldlt_unblocked)(S_all)
-    lu, piv = jax.vmap(lu_factor)(S_all)
+    lu, piv = jax.vmap(_block_factor)(S_all)
     return BlockTridiagFactor(
         lu=lu, piv=piv, d=d, W=jnp.swapaxes(Xs, 1, 2)
     )

@@ -149,3 +149,30 @@ def test_bcr_matches_thomas_factor_solve():
         xt = np.asarray(block_tridiag_solve(block_tridiag_factor(D, E), b))
         xb = np.asarray(bcr_solve(bcr_factor(D, E), b))
         np.testing.assert_allclose(xb, xt, rtol=1e-10, atol=1e-10)
+
+
+def test_handmade_pivoted_lu_matches_lapack():
+    """The TPU block-solve path (XLA:TPU has no f64 LuDecomposition custom
+    call) must match LAPACK's lu_factor packing and pivot convention."""
+    import jax.numpy as jnp
+    from jax.scipy.linalg import lu_factor, lu_solve
+
+    from sleipnir_tpu.ops.block_tridiag import _lu_pivoted
+
+    rng = np.random.default_rng(17)
+    for w in (1, 2, 5, 9, 13, 21):
+        A = jnp.asarray(rng.standard_normal((w, w)))
+        b = jnp.asarray(rng.standard_normal((w,)))
+        lu, piv = _lu_pivoted(A)
+        lu2, piv2 = lu_factor(A)
+        np.testing.assert_array_equal(np.asarray(piv), np.asarray(piv2))
+        np.testing.assert_allclose(
+            np.asarray(lu), np.asarray(lu2), rtol=1e-12, atol=1e-12
+        )
+        x = lu_solve((lu, piv), b)
+        np.testing.assert_allclose(
+            np.asarray(x),
+            np.linalg.solve(np.asarray(A), np.asarray(b)),
+            rtol=1e-10,
+            atol=1e-12,
+        )
