@@ -191,7 +191,9 @@ class BandedBackend:
         def hvp(v):
             return jax.jvp(grad, (x,), (v,))[1]
 
-        Hv = jax.vmap(hvp)(self._probes_h)  # (3m, n)
+        # Compiled problem functions can carry float64 constants; keep the
+        # banded blocks in the backend dtype.
+        Hv = jax.vmap(hvp)(self._probes_h).astype(self.dtype)  # (3m, n)
         HvS = jax.vmap(self._stage_vec)(Hv).reshape(3, m, K, m)
         # Hd[k][i, j] = HvS[k%3, j, k, i]
         k_idx = jnp.arange(K)
@@ -211,7 +213,7 @@ class BandedBackend:
                     lambda xv: sc.c_e * self.ce_raw(xv, params), (x,), (v,)
                 )[1]
 
-            Ue = jax.vmap(jvp_e)(self._probes_e)  # (2m, me)
+            Ue = jax.vmap(jvp_e)(self._probes_e).astype(self.dtype)
             r_idx = jnp.arange(self.me)
             j_idx = jnp.arange(m)
             # local columns: probe (s%2)*m + j
@@ -236,7 +238,7 @@ class BandedBackend:
                     lambda xv: sc.c_i * self.ci_raw(xv, params), (x,), (v,)
                 )[1]
 
-            Ui = jax.vmap(jvp_i)(self._probes_i)  # (m, mi)
+            Ui = jax.vmap(jvp_i)(self._probes_i).astype(self.dtype)
             rows_i = Ui.T  # (mi, m)
             Ailoc = jnp.zeros((K, q, m), self.dtype).at[
                 self._ci_stage, self._ci_slot
@@ -271,7 +273,7 @@ class BandedBackend:
                     lambda xv: self.ce_raw(xv, params), (x,), (v,)
                 )[1]
 
-            Ue = jax.vmap(jvp_e)(self._probes_e)  # (2m, me)
+            Ue = jax.vmap(jvp_e)(self._probes_e).astype(self.dtype)
             r_idx = jnp.arange(self.me)
             j_idx = jnp.arange(m)
             loc_p = (self._ce_stage % 2)[:, None] * m + j_idx[None, :]
@@ -288,7 +290,7 @@ class BandedBackend:
                     lambda xv: self.ci_raw(xv, params), (x,), (v,)
                 )[1]
 
-            Ui = jax.vmap(jvp_i)(self._probes_i)  # (m, mi)
+            Ui = jax.vmap(jvp_i)(self._probes_i).astype(self.dtype)
             ci_rows = np.asarray(Ui.T)
             ci_cols = staged_cols[np.asarray(self.structure.ci_stage)]
         else:
