@@ -76,20 +76,20 @@ class BandedFactor(NamedTuple):
 
 
 def _use_bcr(num_stages: int) -> bool:
-    """Parallel block cyclic reduction pays off on accelerators, where the
-    sequential scan is latency-bound; on CPU the scan's lower flop count
-    wins at every size measured. SLEIPNIR_TPU_BCR=0/1 overrides (the scan
-    path compiles O(1) in the horizon; BCR unrolls log2(K) levels)."""
+    """Parallel block cyclic reduction is the depth-log alternative to the
+    sequential stage scan for accelerators. It is currently OPT-IN
+    (SLEIPNIR_TPU_BCR=1): BCR unrolls log2(K) levels of distinct-shape
+    batched code and the resulting program exceeded a 1-hour XLA:TPU
+    compile at cart-pole N=100 on the available toolchain, while the scan
+    path compiles O(1) in the horizon and is measured end-to-end on
+    hardware. On CPU the scan's lower flop count wins at every size
+    measured regardless."""
     import os  # noqa: PLC0415
-
-    import jax  # noqa: PLC0415
 
     override = os.environ.get("SLEIPNIR_TPU_BCR")
     if override is not None:
         return override != "0"
-    if jax.default_backend() == "cpu":
-        return False
-    return num_stages >= 32
+    return False
 
 
 class BandedBackend:
