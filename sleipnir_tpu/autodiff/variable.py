@@ -644,6 +644,10 @@ class VariableBlock:
 
     cwise_map = cwise_transform
 
+    def sum(self) -> Variable:
+        """Sum of all elements (mirrors VariableMatrix.sum)."""
+        return self._as_matrix().sum()
+
     # Delegate arithmetic to the snapshot matrix
     def __add__(self, other):
         return self._as_matrix() + other

@@ -123,11 +123,11 @@ class OCP(Problem):
             single_dt.set_value(dt_s)
             self._single_dt = single_dt
             self._dt_offset = self._flat_offset_of(single_dt)
-            # Broadcast the single decision variable across all steps
-            cols = VariableMatrix(np.zeros((1, N + 1)))
-            for i in range(N + 1):
-                cols[0, i] = single_dt
-            self._DT = cols
+            # Broadcast the single decision variable across all steps (one
+            # block expression, not N+1 chained element assignments —
+            # those build an O(N)-deep tree that overflows recursion at
+            # long horizons)
+            self._DT = VariableMatrix([[single_dt] * (N + 1)])
         else:  # VARIABLE
             self._DT = self.decision_variable(1, N + 1)
             self._DT.set_value(np.full((1, N + 1), dt_s))
@@ -465,16 +465,22 @@ class OCP(Problem):
             # Single shooting has no per-stage state variables at all; the
             # dense path is the natural one — no warning.
             return None
-        if self._timestep_method != TimestepMethod.FIXED:
-            return self._dense_fallback(
-                "variable timesteps add non-stage decision variables"
-            )
 
         ns, ni, N = self._num_states, self._num_inputs, self._num_steps
         K = N + 1
-        m = ns + ni
+        # Per-step timesteps (TimestepMethod.VARIABLE) couple exactly like
+        # a stage variable (dt_k appears only in stage-k dynamics rows and
+        # its own bound rows), so they FOLD INTO the band with stage width
+        # ns+ni+1. Only the shared dt of VARIABLE_SINGLE is a genuinely
+        # global column — it becomes a BORDER variable and the KKT system
+        # an arrowhead (band + rank-1 border), still O(N) to factor
+        # (kkt_banded.StageStructure.border).
+        variable_per_step = self._timestep_method == TimestepMethod.VARIABLE
+        single_dt = self._timestep_method == TimestepMethod.VARIABLE_SINGLE
+        m = ns + ni + (1 if variable_per_step else 0)
+        nb = 1 if single_dt else 0
         all_ids = comp["all_ids"]
-        if all_ids.shape[0] != K * m:
+        if all_ids.shape[0] != K * m + nb:
             return self._dense_fallback(
                 "extra decision variables outside the X/U stages"
             )
@@ -491,6 +497,13 @@ class OCP(Problem):
         u_ids = self._U.expr.ids  # (ni, K)
         if x_ids.shape != (ns, K) or u_ids.shape != (ni, K):
             return self._dense_fallback("X/U shape mismatch")
+        if variable_per_step:
+            dt_ids = self._DT.expr.ids  # (1, K)
+            if not isinstance(self._DT.expr, DecVarExpr) or dt_ids.shape != (
+                1,
+                K,
+            ):
+                return self._dense_fallback("DT shape mismatch")
 
         stage_of_id = {}
         for k in range(K):
@@ -498,9 +511,14 @@ class OCP(Problem):
                 stage_of_id[int(x_ids[i, k])] = k
             for i in range(ni):
                 stage_of_id[int(u_ids[i, k])] = k
+            if variable_per_step:
+                stage_of_id[int(dt_ids[0, k])] = k
+        # The border dt is deliberately NOT in stage_of_id: element_stages
+        # treats it like a constant, so rows mixing it with one stage keep
+        # that stage, and rows touching only it classify as -1 (border).
 
-        # Staged variable order: z_k = (x_k, u_k); var_perm maps staged
-        # position -> flat position
+        # Staged variable order: z_k = (x_k, u_k[, dt_k]); var_perm maps
+        # staged position -> flat position
         pos_of_id = {int(g): i for i, g in enumerate(all_ids)}
         var_perm = np.zeros(K * m, dtype=np.int64)
         for k in range(K):
@@ -508,8 +526,16 @@ class OCP(Problem):
                 var_perm[k * m + i] = pos_of_id[int(x_ids[i, k])]
             for i in range(ni):
                 var_perm[k * m + ns + i] = pos_of_id[int(u_ids[i, k])]
+            if variable_per_step:
+                var_perm[k * m + ns + ni] = pos_of_id[int(dt_ids[0, k])]
+        if single_dt:
+            border = np.array(
+                [pos_of_id[int(self._single_dt.expr.ids)]], dtype=np.int64
+            )
+        else:
+            border = np.zeros(0, dtype=np.int64)
 
-        def classify(blocks):
+        def classify(blocks, allow_border_rows):
             stages = []
             for b in blocks:
                 if isinstance(b, _FnBlock):
@@ -518,17 +544,26 @@ class OCP(Problem):
                     stages.append(np.asarray(b.row_stage, dtype=np.int64))
                 else:
                     es = element_stages(b, stage_of_id).ravel()
-                    if np.any(es < 0):
+                    if np.any(es == -2):
+                        return None
+                    if np.any(es == -1) and not (
+                        allow_border_rows and nb > 0
+                    ):
                         return None
                     stages.append(es)
-            return (
-                np.concatenate(stages)
-                if stages
-                else np.zeros(0, dtype=np.int64)
-            )
+            if not stages:
+                return np.zeros(0, dtype=np.int64)
+            out = np.concatenate(stages).astype(np.int64)
+            # Border-only rows (e.g. the N+1 broadcast dt bounds) have
+            # all-zero staged Jacobian rows, so their stage assignment is
+            # pure slot storage — distribute them round-robin so no stage's
+            # padded slot count blows up.
+            border_rows = np.where(out == -1)[0]
+            out[border_rows] = np.arange(border_rows.shape[0]) % K
+            return out
 
-        ce_stage = classify(self._equality)
-        ci_stage = classify(self._inequality)
+        ce_stage = classify(self._equality, allow_border_rows=False)
+        ci_stage = classify(self._inequality, allow_border_rows=True)
         if ce_stage is None or ci_stage is None:
             return self._dense_fallback(
                 "a constraint row couples non-adjacent stages"
@@ -561,6 +596,7 @@ class OCP(Problem):
             ci_stage=ci_stage,
             ci_slot=ci_slot,
             ineq_pad=max(q, 1),
+            border=border,
         )
 
     def _constrain_single_shooting(self) -> None:

@@ -163,9 +163,26 @@ class DenseDerivs(NamedTuple):
     A_i: jnp.ndarray  # (mi, n)
 
 
+def _equilibrate_dense(A, rounds: int = 2):
+    """Symmetric Ruiz equilibration: returns (SAS, s). A congruence, so
+    the inertia is exactly preserved while row/column magnitudes compress
+    to O(1) — see kkt_banded._equilibrate for why this is load-bearing
+    for pivot-sign robustness under TPU f64 emulation."""
+    s = jnp.ones((A.shape[0],), A.dtype)
+    for _ in range(rounds):
+        rn = jnp.max(jnp.abs(A), axis=1)
+        f = jnp.where(rn > 0.0, 1.0 / jnp.sqrt(rn), 1.0)
+        A = A * f[:, None] * f[None, :]
+        s = s * f
+    return A, s
+
+
 class DenseFactor(NamedTuple):
     L: jnp.ndarray
     d: jnp.ndarray
+    #: Ruiz equilibration scale: the factor is of S·KKT·S, so solves are
+    #: x = S · ldlt_solve(L, d, S · b).
+    s: jnp.ndarray
     delta: jnp.ndarray
     gamma: jnp.ndarray
     ok: jnp.ndarray
@@ -232,32 +249,38 @@ class DenseBackend:
             [jnp.zeros((n,), self.dtype), -jnp.ones((me,), self.dtype)]
         )
 
+        # Pivot zero-threshold on the EQUILIBRATED system (O(1) pivots);
+        # see BandedBackend.factor.
+        eps_inertia = float(eps**0.75)
+
         def factor_with(delta, gamma):
-            L, dd = ldlt_factor(
+            A, s = _equilibrate_dense(
                 lhs + jnp.diag(delta * reg_pos + gamma * reg_neg)
             )
-            pos, neg, zero = inertia(dd, eps)
+            L, dd = ldlt_factor(A)
+            pos, neg, zero = inertia(dd, eps_inertia)
             # The unregularized attempt additionally requires pivots away
             # from zero (reference sparse_regularized_ldlt.hpp:82-83)
             small = jnp.any(jnp.abs(dd) < 1e-4) & (delta == 0.0) & (
                 gamma == 0.0
             )
             failed = ~jnp.all(jnp.isfinite(dd)) | small
-            return (L, dd), pos, neg, zero, failed
+            return (L, dd, s), pos, neg, zero, failed
 
         out = regularization_loop(
             factor_with, n, me, prev_delta, gamma_min, self.dtype
         )
-        L, dd = out.fac
+        L, dd, s = out.fac
         return DenseFactor(
-            L=L, d=dd, delta=out.delta, gamma=out.gamma, ok=out.ok
+            L=L, d=dd, s=s, delta=out.delta, gamma=out.gamma, ok=out.ok
         )
 
     def solve(self, fac: DenseFactor, rhs_top, rhs_bottom):
         """Solve for (p_x, p_y): [·][pˣ; −pʸ] = [rhs_top; rhs_bottom]."""
         from sleipnir_tpu.ops.ldlt import ldlt_solve  # noqa: PLC0415
 
-        p = ldlt_solve(fac.L, fac.d, jnp.concatenate([rhs_top, rhs_bottom]))
+        rhs = jnp.concatenate([rhs_top, rhs_bottom])
+        p = fac.s * ldlt_solve(fac.L, fac.d, fac.s * rhs)
         return p[: self.n], -p[self.n :]
 
     def _kkt_matvec(self, d: DenseDerivs, sigma, delta, gamma, u, v):
@@ -286,13 +309,23 @@ class DenseBackend:
         from sleipnir_tpu.ops.ldlt import ldlt_solve  # noqa: PLC0415
 
         rhs = jnp.concatenate([rhs_top, rhs_bottom])
-        p = ldlt_solve(fac.L, fac.d, rhs)
-        for _ in range(iterations):
+
+        def solve_fn(b_):
+            # The factor is of the equilibrated S·KKT·S (DenseFactor.s)
+            return fac.s * ldlt_solve(fac.L, fac.d, fac.s * b_)
+
+        p = solve_fn(rhs)
+
+        # Loop (not unroll) the refinement passes — see
+        # BandedBackend.solve_refined for the compile-size rationale.
+        def refine(_, p):
             t, b = self._kkt_matvec(
                 d, sigma, fac.delta, fac.gamma, p[: self.n], p[self.n :]
             )
             r = rhs - jnp.concatenate([t, b])
-            p = p + ldlt_solve(fac.L, fac.d, r)
+            return p + solve_fn(r)
+
+        p = lax.fori_loop(0, iterations, refine, p)
         return p[: self.n], -p[self.n :]
 
     # -- observability -----------------------------------------------------

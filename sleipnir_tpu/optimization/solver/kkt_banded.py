@@ -18,7 +18,8 @@ with *colored* AD probes:
   - Lagrangian Hessian: 3·m HVPs (mod-3 coloring covers the k−1/k/k+1
     row blocks unambiguously),
   - Aᵢ: m JVPs (each inequality row touches a single stage).
-All probes batch under vmap, so the per-iteration derivative cost is
+Probes batch under vmap on CPU and run sequentially under lax.map on
+accelerators (see _probe_map), so the per-iteration derivative cost is
 O(stage-width) evaluations of the constraint program instead of O(n).
 """
 
@@ -44,32 +45,114 @@ from sleipnir_tpu.optimization.solver.kkt_backend import (
 )
 
 
+def _probe_map(fn, probes):
+    """Evaluate a batch of tangent probes: vmap on CPU, sequential
+    lax.map on accelerators.
+
+    vmapping the probe batch on TPU lets XLA route the batched tangent
+    arithmetic through the MXU's multi-pass-f32 f64 emulation. Measured at
+    cart-pole N=100's converged duals (TPU v5e, state captured at the μ
+    floor): vmapped probes put ~6e-8 absolute error into the A_e blocks
+    and ~7e-9 relative error into the Hessian blocks, while a single
+    (unbatched) JVP/HVP of the same program is bit-identical to CPU f64.
+    That Jacobian noise capped the attainable KKT error at ~3e-5 — above
+    the 1e-8 tolerance — and stalled the solver at the μ floor until its
+    δ/γ regularization loop detonated (BENCH_r03 FACTORIZATION_FAILED at
+    iteration 254; see docs/tpu_numerics.md). Sequential lax.map keeps
+    every probe on the exact scalar path at identical wall time on the
+    TPU (26.5 ms vs 26.7 ms per derivative batch — latency-bound)."""
+    if jax.default_backend() == "cpu":
+        return jax.vmap(fn)(probes)
+    from jax import lax  # noqa: PLC0415
+
+    return lax.map(fn, probes)
+
+
+def _equilibrate(D, E, rounds: int = 2):
+    """Symmetric Ruiz equilibration of a block-tridiagonal matrix.
+
+    Returns (D', E', s) with M' = S M S, S = blockdiag(diag(s_k)). The
+    scaling is a congruence, so the inertia is exactly preserved
+    (Sylvester), while the row/column magnitudes are compressed to O(1).
+
+    Why: mid-solve KKT systems mix Lagrangian-Hessian rows of magnitude
+    ~|y|·curvature (observed ~1e9 on cart-pole N=100 while the duals peak
+    near 1e8) with equality-Schur pivots of magnitude ~|A|²/|H| (~1e-7).
+    Unscaled, those small pivots sit below the factorization's absolute
+    noise floor (~|H|·u_eff; u_eff ≈ 1e-14 under TPU f64 emulation), so
+    their SIGNS are noise and the δ/γ inertia-correction loop escalates
+    to overflow (BENCH FACTORIZATION_FAILED mid-phase). Equilibrated,
+    pivots are O(1) against noise ~1e-13 and both the inertia count and
+    the reference's small-pivot gate (sparse_regularized_ldlt.hpp:82-83,
+    |pivot| < 1e-4) become scale-meaningful."""
+    K = D.shape[0]
+    s = jnp.ones((K, D.shape[1]), D.dtype)
+    for _ in range(rounds):
+        rn = jnp.max(jnp.abs(D), axis=2)  # (K, w)
+        if E.shape[0] > 0:
+            # block row k+1 contains E_k; block row k contains E_kᵀ
+            rn = rn.at[1:].max(jnp.max(jnp.abs(E), axis=2))
+            rn = rn.at[:-1].max(jnp.max(jnp.abs(E), axis=1))
+        f = jnp.where(rn > 0.0, 1.0 / jnp.sqrt(rn), 1.0)
+        D = D * f[:, :, None] * f[:, None, :]
+        if E.shape[0] > 0:
+            E = E * f[1:, :, None] * f[:-1, None, :]
+        s = s * f
+    return D, E, s
+
+
+_EMPTY_BORDER = np.zeros(0, dtype=np.int64)
+
+
 class StageStructure(NamedTuple):
     """Static stage metadata (host-side numpy)."""
 
     num_stages: int  # K
     stage_width: int  # m variables per stage
-    var_perm: np.ndarray  # (n,) staged order -> flat index
+    var_perm: np.ndarray  # (K·m,) staged order -> flat index
     ce_stage: np.ndarray  # (me,) stage of each equality row
     ce_slot: np.ndarray  # (me,) slot within the stage's padded block
     eq_pad: int  # p: max equality rows per stage
     ci_stage: np.ndarray  # (mi,)
     ci_slot: np.ndarray  # (mi,)
     ineq_pad: int  # q: max inequality rows per stage
+    #: Flat indices of BORDER decision variables: columns that couple to
+    #: every stage (e.g. the shared dt of a TimestepMethod.VARIABLE_SINGLE
+    #: minimum-time OCP, reference ocp.hpp:129-134). The KKT system is
+    #: then band + low-rank border (arrowhead) and factors via a Schur
+    #: complement on the border — still O(N·w³). Inequality rows touching
+    #: ONLY border variables are assigned stage 0 with an all-zero staged
+    #: row; their Jacobian entries live in the dense border column.
+    border: np.ndarray = _EMPTY_BORDER
 
 
 class BandedDerivs(NamedTuple):
-    """Per-stage scaled derivative blocks."""
+    """Per-stage scaled derivative blocks (+ dense border columns)."""
 
     Hd: jnp.ndarray  # (K, m, m) stage-diagonal Lagrangian Hessian
     Hc: jnp.ndarray  # (K-1, m, m) coupling H[k+1, k]
     Aloc: jnp.ndarray  # (K, p, m) eq rows of stage k wrt z_k
     Anext: jnp.ndarray  # (K, p, m) eq rows of stage k wrt z_{k+1} (last 0)
     Ailoc: jnp.ndarray  # (K, q, m) ineq rows of stage k wrt z_k
+    Hb: jnp.ndarray  # (nb, K, m) Hessian border columns against staged vars
+    Hbb: jnp.ndarray  # (nb, nb) border-border Hessian block
+    Aeb: jnp.ndarray  # (me, nb) eq-row border entries
+    Aib: jnp.ndarray  # (mi, nb) ineq-row border entries
 
 
 class BandedFactor(NamedTuple):
     fac: object  # BlockTridiagFactor (sequential) or BCRFactor (parallel)
+    #: Ruiz equilibration scale (K, w): the factor is of S M S, so solves
+    #: are x = S · solve(fac, S · b).
+    s: jnp.ndarray
+    #: Border (arrowhead) data: assembled border columns in staged layout
+    #: (nb, K, w), T⁻¹·col (nb, K, w), the δ-free border block e₀ (nb, nb),
+    #: and the LDLᵀ of the border Schur complement e − colᵀT⁻¹col.
+    col: jnp.ndarray
+    Xcols: jnp.ndarray
+    e0: jnp.ndarray
+    Sb_L: jnp.ndarray
+    Sb_d: jnp.ndarray
     delta: jnp.ndarray
     gamma: jnp.ndarray
     ok: jnp.ndarray
@@ -118,9 +201,16 @@ class BandedBackend:
         self.use_bcr = _use_bcr(structure.num_stages)
 
         K, m, p, q = st.num_stages, st.stage_width, st.eq_pad, st.ineq_pad
-        assert n == K * m, (n, K, m)
-        self.K, self.m, self.p, self.q = K, m, p, q
+        nb = int(np.asarray(st.border).shape[0])
+        assert n == K * m + nb, (n, K, m, nb)
+        self.K, self.m, self.p, self.q, self.nb = K, m, p, q, nb
         self.w = m + p
+        self._border_pos = jnp.asarray(
+            np.asarray(st.border, dtype=np.int64).reshape(nb)
+        )
+        probes_b = np.zeros((nb, n))
+        probes_b[np.arange(nb), np.asarray(st.border, dtype=np.int64)] = 1.0
+        self._probes_b = jnp.asarray(probes_b, dtype)
 
         # Probe matrices (static constants)
         staged = st.var_perm.reshape(K, m)
@@ -193,7 +283,7 @@ class BandedBackend:
 
         # Compiled problem functions can carry float64 constants; keep the
         # banded blocks in the backend dtype.
-        Hv = jax.vmap(hvp)(self._probes_h).astype(self.dtype)  # (3m, n)
+        Hv = _probe_map(hvp, self._probes_h).astype(self.dtype)  # (3m, n)
         HvS = jax.vmap(self._stage_vec)(Hv).reshape(3, m, K, m)
         # Hd[k][i, j] = HvS[k%3, j, k, i]
         k_idx = jnp.arange(K)
@@ -213,7 +303,7 @@ class BandedBackend:
                     lambda xv: sc.c_e * self.ce_raw(xv, params), (x,), (v,)
                 )[1]
 
-            Ue = jax.vmap(jvp_e)(self._probes_e).astype(self.dtype)
+            Ue = _probe_map(jvp_e, self._probes_e).astype(self.dtype)
             r_idx = jnp.arange(self.me)
             j_idx = jnp.arange(m)
             # local columns: probe (s%2)*m + j
@@ -238,7 +328,7 @@ class BandedBackend:
                     lambda xv: sc.c_i * self.ci_raw(xv, params), (x,), (v,)
                 )[1]
 
-            Ui = jax.vmap(jvp_i)(self._probes_i).astype(self.dtype)
+            Ui = _probe_map(jvp_i, self._probes_i).astype(self.dtype)
             rows_i = Ui.T  # (mi, m)
             Ailoc = jnp.zeros((K, q, m), self.dtype).at[
                 self._ci_stage, self._ci_slot
@@ -246,7 +336,34 @@ class BandedBackend:
         else:
             Ailoc = jnp.zeros((K, q, m), self.dtype)
 
-        return BandedDerivs(Hd=Hd, Hc=Hc, Aloc=Aloc, Anext=Anext, Ailoc=Ailoc)
+        # Border (arrowhead) columns: one exact HVP/JVP per border variable
+        nb = self.nb
+        if nb > 0:
+            Hvb = _probe_map(hvp, self._probes_b).astype(self.dtype)  # (nb, n)
+            Hb = jax.vmap(self._stage_vec)(Hvb)  # (nb, K, m)
+            Hbb = Hvb[:, self._border_pos]  # (nb, nb)
+            if self.me > 0:
+                Aeb = jnp.swapaxes(
+                    _probe_map(jvp_e, self._probes_b).astype(self.dtype), 0, 1
+                )  # (me, nb)
+            else:
+                Aeb = jnp.zeros((0, nb), self.dtype)
+            if self.mi > 0:
+                Aib = jnp.swapaxes(
+                    _probe_map(jvp_i, self._probes_b).astype(self.dtype), 0, 1
+                )  # (mi, nb)
+            else:
+                Aib = jnp.zeros((0, nb), self.dtype)
+        else:
+            Hb = jnp.zeros((0, K, m), self.dtype)
+            Hbb = jnp.zeros((0, 0), self.dtype)
+            Aeb = jnp.zeros((self.me, 0), self.dtype)
+            Aib = jnp.zeros((self.mi, 0), self.dtype)
+
+        return BandedDerivs(
+            Hd=Hd, Hc=Hc, Aloc=Aloc, Anext=Anext, Ailoc=Ailoc,
+            Hb=Hb, Hbb=Hbb, Aeb=Aeb, Aib=Aib,
+        )
 
     def setup_rows(self, x0, params):
         """Per-row Jacobian data at x0 for setup (scaling + bound
@@ -273,13 +390,20 @@ class BandedBackend:
                     lambda xv: self.ce_raw(xv, params), (x,), (v,)
                 )[1]
 
-            Ue = jax.vmap(jvp_e)(self._probes_e).astype(self.dtype)
+            Ue = _probe_map(jvp_e, self._probes_e).astype(self.dtype)
             r_idx = jnp.arange(self.me)
             j_idx = jnp.arange(m)
             loc_p = (self._ce_stage % 2)[:, None] * m + j_idx[None, :]
             ce_rows_loc = np.asarray(Ue[loc_p, r_idx[:, None]])
             next_p = ((self._ce_stage + 1) % 2)[:, None] * m + j_idx[None, :]
             ce_rows_next = np.asarray(Ue[next_p, r_idx[:, None]])
+            if self.nb > 0:
+                # Append border-column entries so row ∞-norms (scaling)
+                # see the full row.
+                Ueb = np.asarray(
+                    _probe_map(jvp_e, self._probes_b).astype(self.dtype)
+                ).T  # (me, nb)
+                ce_rows_loc = np.concatenate([ce_rows_loc, Ueb], axis=1)
         else:
             ce_rows_loc = np.zeros((0, m))
             ce_rows_next = np.zeros((0, m))
@@ -290,9 +414,19 @@ class BandedBackend:
                     lambda xv: self.ci_raw(xv, params), (x,), (v,)
                 )[1]
 
-            Ui = jax.vmap(jvp_i)(self._probes_i).astype(self.dtype)
+            Ui = _probe_map(jvp_i, self._probes_i).astype(self.dtype)
             ci_rows = np.asarray(Ui.T)
             ci_cols = staged_cols[np.asarray(self.structure.ci_stage)]
+            if self.nb > 0:
+                Uib = np.asarray(
+                    _probe_map(jvp_i, self._probes_b).astype(self.dtype)
+                ).T  # (mi, nb)
+                ci_rows = np.concatenate([ci_rows, Uib], axis=1)
+                border_cols = np.broadcast_to(
+                    np.asarray(self._border_pos)[None, :],
+                    (self.mi, self.nb),
+                )
+                ci_cols = np.concatenate([ci_cols, border_cols], axis=1)
         else:
             ci_rows = np.zeros((0, m))
             ci_cols = np.zeros((0, m), dtype=np.int64)
@@ -306,6 +440,10 @@ class BandedBackend:
             & jnp.all(jnp.isfinite(d.Aloc))
             & jnp.all(jnp.isfinite(d.Anext))
             & jnp.all(jnp.isfinite(d.Ailoc))
+            & jnp.all(jnp.isfinite(d.Hb))
+            & jnp.all(jnp.isfinite(d.Hbb))
+            & jnp.all(jnp.isfinite(d.Aeb))
+            & jnp.all(jnp.isfinite(d.Aib))
         )
 
     # -- matvecs -----------------------------------------------------------
@@ -326,7 +464,10 @@ class BandedBackend:
         t1 = jnp.einsum("kpm,kp->km", d.Aloc, vs)
         t2 = jnp.einsum("kpm,kp->km", d.Anext, vs)
         out = t1.at[1:].add(t2[:-1])
-        return self._unstage_vec(out)
+        res = self._unstage_vec(out)
+        if self.nb > 0:
+            res = res.at[self._border_pos].add(d.Aeb.T @ v)
+        return res
 
     def Ae(self, d: BandedDerivs, u):
         us = self._stage_vec(u)  # (K, m)
@@ -336,19 +477,28 @@ class BandedBackend:
         r = jnp.einsum("kpm,km->kp", d.Aloc, us) + jnp.einsum(
             "kpm,km->kp", d.Anext, u_next
         )
-        return r[self._ce_stage, self._ce_slot]
+        out = r[self._ce_stage, self._ce_slot]
+        if self.nb > 0:
+            out = out + d.Aeb @ u[self._border_pos]
+        return out
 
     def AiT(self, d: BandedDerivs, v):
         if self.mi == 0:
             return jnp.zeros((self.n,), self.dtype)
         vs = self._stage_ineq(v)
         out = jnp.einsum("kqm,kq->km", d.Ailoc, vs)
-        return self._unstage_vec(out)
+        res = self._unstage_vec(out)
+        if self.nb > 0:
+            res = res.at[self._border_pos].add(d.Aib.T @ v)
+        return res
 
     def Ai(self, d: BandedDerivs, u):
         us = self._stage_vec(u)
         r = jnp.einsum("kqm,km->kq", d.Ailoc, us)
-        return r[self._ci_stage, self._ci_slot]
+        out = r[self._ci_stage, self._ci_slot]
+        if self.nb > 0:
+            out = out + d.Aib @ u[self._border_pos]
+        return out
 
     # -- factorization -----------------------------------------------------
 
@@ -374,6 +524,18 @@ class BandedBackend:
             E = E.at[:, :m, :m].set(d.Hc)
             E = E.at[:, :m, m:].set(jnp.swapaxes(d.Anext[:-1], 1, 2))
 
+        # Pivot zero-threshold for inertia on the EQUILIBRATED system,
+        # whose legitimate pivots are O(1): anything below eps^0.75
+        # (f64: ~1e-12, above the TPU-emulation noise ~1e-13; f32: ~2e-5)
+        # counts as zero and drives the δ/γ escalation.
+        eps_inertia = float(eps**0.75)
+
+        nb = self.nb
+        col0, e0 = self._assemble_border(d, sigma)
+        inner_solve = bcr_solve if self.use_bcr else block_tridiag_solve
+        from jax import lax  # noqa: PLC0415
+        from sleipnir_tpu.ops.ldlt import _ldlt_unblocked  # noqa: PLC0415
+
         def factor_with(delta, gamma):
             D = jnp.zeros((K, w, w), self.dtype)
             D = D.at[:, :m, :m].set(top_left + delta * eye_m[None])
@@ -383,22 +545,58 @@ class BandedBackend:
             diag_vals = jnp.where(slot_real, -gamma, -1.0)
             idx = jnp.arange(m, w)
             D = D.at[:, idx, idx].set(diag_vals)
+            Ds, Es, s_eq = _equilibrate(D, E)
             if self.use_bcr:
-                fac = bcr_factor(D, E)
-                pos, neg, zero = bcr_inertia(fac, eps, K)
+                fac = bcr_factor(Ds, Es)
+                pos, neg, zero = bcr_inertia(fac, eps_inertia, K)
                 pivots = [fac.final.d] + [lv.do for lv in fac.levels]
             else:
-                fac = block_tridiag_factor(D, E)
-                pos, neg, zero = block_tridiag_inertia(fac, eps)
+                fac = block_tridiag_factor(Ds, Es)
+                pos, neg, zero = block_tridiag_inertia(fac, eps_inertia)
                 pivots = [fac.d]
             small_any = jnp.asarray(False)
             finite = jnp.asarray(True)
             for pv in pivots:
                 small_any = small_any | jnp.any(jnp.abs(pv) < 1e-4)
                 finite = finite & jnp.all(jnp.isfinite(pv))
+
+            # Border (arrowhead) Schur complement: S_b = e − colᵀ T⁻¹ col.
+            # The border solves run under sequential lax.map (not vmap),
+            # and get one refinement pass, so the Schur pivot signs stay
+            # trustworthy (see _probe_map / docs/tpu_numerics.md).
+            if nb > 0:
+                def tsolve(b_):
+                    return s_eq * inner_solve(fac, s_eq * b_)
+
+                X = lax.map(tsolve, col0)  # (nb, K, w)
+                resid = col0 - lax.map(
+                    lambda u: self._kkt_matvec_staged(
+                        d, sigma, delta, gamma, u
+                    ),
+                    X,
+                )
+                X = X + lax.map(tsolve, resid)
+                Sb = (
+                    e0
+                    + delta * jnp.eye(nb, dtype=self.dtype)
+                    - jnp.einsum("akw,bkw->ab", col0, X)
+                )
+                Lb, db = _ldlt_unblocked(Sb)
+                pos = pos + jnp.sum(db > eps_inertia)
+                neg = neg + jnp.sum(db < -eps_inertia)
+                zero = zero + nb - jnp.sum(db > eps_inertia) - jnp.sum(
+                    db < -eps_inertia
+                )
+                small_any = small_any | jnp.any(jnp.abs(db) < 1e-4)
+                finite = finite & jnp.all(jnp.isfinite(db))
+            else:
+                X = jnp.zeros((0, K, w), self.dtype)
+                Lb = jnp.zeros((0, 0), self.dtype)
+                db = jnp.zeros((0,), self.dtype)
+
             small = (delta == 0.0) & (gamma == 0.0) & small_any
             failed = ~finite | small
-            return fac, pos, neg, zero, failed
+            return (fac, s_eq, X, Lb, db), pos, neg, zero, failed
 
         ideal_pos = self.n
         ideal_neg = K * p
@@ -406,28 +604,87 @@ class BandedBackend:
             factor_with, ideal_pos, ideal_neg, prev_delta, gamma_min,
             self.dtype,
         )
+        inner, s_eq, X, Lb, db = out.fac
         return BandedFactor(
-            fac=out.fac, delta=out.delta, gamma=out.gamma, ok=out.ok
+            fac=inner, s=s_eq, col=col0, Xcols=X, e0=e0, Sb_L=Lb, Sb_d=db,
+            delta=out.delta, gamma=out.gamma, ok=out.ok,
         )
 
-    def solve(self, fac: BandedFactor, rhs_top, rhs_bottom):
+    def _assemble_border(self, d: BandedDerivs, sigma):
+        """Assemble the border columns in staged layout (nb, K, w) and the
+        δ-free border block e₀ = H_bb + Σᵣ σᵣ a_b a_bᵀ (nb, nb)."""
+        K, m, w, nb = self.K, self.m, self.w, self.nb
+        col = jnp.zeros((nb, K, w), self.dtype)
+        if nb == 0:
+            return col, jnp.zeros((0, 0), self.dtype)
+        colm = d.Hb  # (nb, K, m)
+        e0 = d.Hbb
+        if self.mi > 0:
+            sig_st = self._stage_ineq(sigma)  # (K, q)
+            Aib_st = jnp.zeros((K, self.q, nb), self.dtype).at[
+                self._ci_stage, self._ci_slot
+            ].set(d.Aib)
+            colm = colm + jnp.einsum(
+                "kq,kqm,kqb->bkm", sig_st, d.Ailoc, Aib_st
+            )
+            e0 = e0 + jnp.einsum("r,ra,rb->ab", sigma, d.Aib, d.Aib)
+        col = col.at[:, :, :m].set(colm)
+        if self.me > 0:
+            col = col.at[:, self._ce_stage, m + self._ce_slot].set(
+                jnp.swapaxes(d.Aeb, 0, 1)
+            )
+        return col, e0
+
+    def _border_block_solve(self, fac: BandedFactor, r):
+        """Solve S_b v = r with the border Schur LDLᵀ ((nb,) rhs)."""
+        from jax.scipy.linalg import solve_triangular  # noqa: PLC0415
+
+        y = solve_triangular(fac.Sb_L, r, lower=True)
+        y = y / jnp.where(fac.Sb_d == 0.0, 1.0, fac.Sb_d)
+        return solve_triangular(fac.Sb_L.T, y, lower=False)
+
+    def _bordered_solve(self, fac: BandedFactor, b, b_b):
+        """Solve the full arrowhead system given the factor: returns
+        (staged solution (K, w), border solution (nb,))."""
+        inner_solve = bcr_solve if self.use_bcr else block_tridiag_solve
+        u0 = fac.s * inner_solve(fac.fac, fac.s * b)
+        if self.nb == 0:
+            return u0, b_b
+        rhs_v = b_b - jnp.einsum("bkw,kw->b", fac.col, u0)
+        v = self._border_block_solve(fac, rhs_v)
+        u = u0 - jnp.einsum("bkw,b->kw", fac.Xcols, v)
+        return u, v
+
+    def _staged_rhs(self, rhs_top, rhs_bottom):
+        """Split a flat rhs into staged (K, w) and border (nb,) parts."""
         b = jnp.zeros((self.K, self.w), self.dtype)
         b = b.at[:, : self.m].set(self._stage_vec(rhs_top))
         if self.me > 0:
             b = b.at[
                 self._ce_stage, self.m + self._ce_slot
             ].set(rhs_bottom)
-        if self.use_bcr:
-            sol = bcr_solve(fac.fac, b)
-        else:
-            sol = block_tridiag_solve(fac.fac, b)
+        b_b = (
+            rhs_top[self._border_pos]
+            if self.nb > 0
+            else jnp.zeros((0,), self.dtype)
+        )
+        return b, b_b
+
+    def _unpack_solution(self, sol, v_b):
         p_x = self._unstage_vec(sol[:, : self.m])
+        if self.nb > 0:
+            p_x = p_x.at[self._border_pos].set(v_b)
         p_y = (
             -sol[self._ce_stage, self.m + self._ce_slot]
             if self.me > 0
             else jnp.zeros((0,), self.dtype)
         )
         return p_x, p_y
+
+    def solve(self, fac: BandedFactor, rhs_top, rhs_bottom):
+        b, b_b = self._staged_rhs(rhs_top, rhs_bottom)
+        sol, v_b = self._bordered_solve(fac, b, b_b)
+        return self._unpack_solution(sol, v_b)
 
     def _kkt_matvec_staged(self, d: BandedDerivs, sigma, delta, gamma, sol):
         """Apply the regularized staged KKT matrix to sol (K, w).
@@ -469,26 +726,35 @@ class BandedBackend:
         """Solve + fixed-count iterative refinement (see
         DenseBackend.solve_refined; the stage-ordered unpivoted elimination
         needs it even more than the dense path)."""
-        b = jnp.zeros((self.K, self.w), self.dtype)
-        b = b.at[:, : self.m].set(self._stage_vec(rhs_top))
-        if self.me > 0:
-            b = b.at[
-                self._ce_stage, self.m + self._ce_slot
-            ].set(rhs_bottom)
-        solve_fn = bcr_solve if self.use_bcr else block_tridiag_solve
-        sol = solve_fn(fac.fac, b)
-        for _ in range(iterations):
+        b, b_b = self._staged_rhs(rhs_top, rhs_bottom)
+        sol, v_b = self._bordered_solve(fac, b, b_b)
+
+        # fori_loop rather than Python-unrolled passes: the loop body is
+        # emitted once into the HLO, which matters because this program is
+        # inlined at several line-search/SOC call sites of the jitted IPM
+        # step and XLA:TPU compile time scales with program size.
+        def refine(_, carry):
+            sol, v_b = carry
             r = b - self._kkt_matvec_staged(
                 d, sigma, fac.delta, fac.gamma, sol
             )
-            sol = sol + solve_fn(fac.fac, r)
-        p_x = self._unstage_vec(sol[:, : self.m])
-        p_y = (
-            -sol[self._ce_stage, self.m + self._ce_slot]
-            if self.me > 0
-            else jnp.zeros((0,), self.dtype)
-        )
-        return p_x, p_y
+            if self.nb > 0:
+                r = r - jnp.einsum("bkw,b->kw", fac.col, v_b)
+                r_b = (
+                    b_b
+                    - jnp.einsum("bkw,kw->b", fac.col, sol)
+                    - fac.e0 @ v_b
+                    - fac.delta * v_b
+                )
+            else:
+                r_b = b_b
+            du, dv = self._bordered_solve(fac, r, r_b)
+            return sol + du, v_b + dv
+
+        from jax import lax  # noqa: PLC0415
+
+        sol, v_b = lax.fori_loop(0, iterations, refine, (sol, v_b))
+        return self._unpack_solution(sol, v_b)
 
     # -- observability -----------------------------------------------------
 
@@ -507,6 +773,13 @@ class BandedBackend:
                 vk1 = perm.reshape(K, m)[k + 1]
                 H[np.ix_(vk1, vk)] = Hc[k]
                 H[np.ix_(vk, vk1)] = Hc[k].T
+        if self.nb > 0:
+            bp = np.asarray(self._border_pos)
+            Hb = np.asarray(d.Hb)  # (nb, K, m)
+            for bi in range(self.nb):
+                H[bp[bi], perm] = Hb[bi].reshape(-1)
+                H[perm, bp[bi]] = Hb[bi].reshape(-1)
+            H[np.ix_(bp, bp)] = np.asarray(d.Hbb)
         A_e = np.zeros((me, n))
         Aloc = np.asarray(d.Aloc)
         Anext = np.asarray(d.Anext)
@@ -515,9 +788,13 @@ class BandedBackend:
             A_e[r, perm.reshape(K, m)[s_]] = Aloc[s_, sl]
             if s_ + 1 < K:
                 A_e[r, perm.reshape(K, m)[s_ + 1]] = Anext[s_, sl]
+        if self.nb > 0 and me > 0:
+            A_e[:, np.asarray(self._border_pos)] = np.asarray(d.Aeb)
         A_i = np.zeros((mi, n))
         Ailoc = np.asarray(d.Ailoc)
         for r in range(mi):
             s_, sl = self.structure.ci_stage[r], self.structure.ci_slot[r]
             A_i[r, perm.reshape(K, m)[s_]] = Ailoc[s_, sl]
+        if self.nb > 0 and mi > 0:
+            A_i[:, np.asarray(self._border_pos)] = np.asarray(d.Aib)
         return H, A_e, A_i

@@ -407,9 +407,10 @@ def _restore_banded(
     mi = parent.num_inequality_constraints
     st = parent_backend.structure
     K, m, p, q = st.num_stages, st.stage_width, st.eq_pad, st.ineq_pad
+    nb = int(np.asarray(st.border).shape[0])
     e2 = 2 * (p + q)  # relaxation slots per stage (incl. padded slots)
     m2 = m + e2
-    N2 = K * m2
+    N2 = K * m2 + nb
     MI2 = mi + K * e2
 
     ce_stage = np.asarray(st.ce_stage)
@@ -479,6 +480,9 @@ def _restore_banded(
         ci_stage=ci_stage2,
         ci_slot=ci_slot2,
         ineq_pad=q + e2,
+        # A border (shared-dt) column in the parent stays a border of the
+        # augmented problem at the same flat position (< n).
+        border=np.asarray(st.border),
     )
     dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
     fr_backend = BandedBackend(
