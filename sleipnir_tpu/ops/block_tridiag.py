@@ -37,8 +37,13 @@ def _lu_pivoted(A):
 
     XLA:TPU has no f64 LuDecomposition custom call, so the accelerator
     path cannot use jax.scipy.linalg.lu_factor; this compiles to plain
-    arithmetic on any backend. O(w) sequential steps for a (w, w) block —
-    w is the small stage width, not the horizon."""
+    arithmetic on any backend. The w elimination steps are UNROLLED
+    (w is the small static stage width, not the horizon): on TPU each
+    `lax.fori_loop`/`scan` step costs ~30 µs of sequential control
+    overhead, and this routine runs inside the per-stage factorization
+    scan — a nested device loop here made the whole block-tridiagonal
+    factorization ~50 ms at K=101 (measured on v5e; unrolled straight-line
+    steps fuse instead)."""
     n = A.shape[0]
     idx = jnp.arange(n)
 
@@ -60,8 +65,33 @@ def _lu_pivoted(A):
         LU = LU.at[:, k].set(jnp.where(idx > k, factors, LU[:, k]))
         return LU, piv
 
-    piv0 = jnp.zeros((n,), jnp.int32)
-    return lax.fori_loop(0, n, body, (A, piv0))
+    carry = (A, jnp.zeros((n,), jnp.int32))
+    for k in range(n):
+        carry = body(k, carry)
+    return carry
+
+
+def _lu_solve_packed(LU, piv, b):
+    """Solve with a LAPACK-convention packed LU (from _lu_pivoted or
+    lu_factor), fully UNROLLED — the TPU-fast substitute for
+    jax.scipy.linalg.lu_solve, whose TriangularSolve lowering runs a
+    sequential device loop (~30 µs/step on v5e). b is (n,) or (n, k)."""
+    n = LU.shape[0]
+    idx = jnp.arange(n)
+    for k in range(n):
+        p = piv[k]
+        bk = b[k]
+        bp = b[p]
+        b = b.at[k].set(bp).at[p].set(bk)
+    # Forward substitution with the unit-lower factor (strict lower of LU)
+    for k in range(1, n):
+        row = jnp.where(idx < k, LU[k], 0.0)
+        b = b.at[k].add(-(row @ b))
+    # Back substitution with the upper factor
+    for k in range(n - 1, -1, -1):
+        row = jnp.where(idx > k, LU[k], 0.0)
+        b = b.at[k].set((b[k] - row @ b) / LU[k, k])
+    return b
 
 
 def _block_factor(S):
@@ -73,13 +103,22 @@ def _block_factor(S):
     return _lu_pivoted(S)
 
 
+def _block_lu_solve(lu, piv, b):
+    """Solve with a _block_factor result: LAPACK getrs on CPU, unrolled
+    substitution on accelerators."""
+    if jax.default_backend() == "cpu":
+        from jax.scipy.linalg import lu_solve  # noqa: PLC0415
+
+        return lu_solve((lu, piv), b)
+    return _lu_solve_packed(lu, piv, b)
+
+
 def _block_solve_fresh(S, B):
     """Solve S X = B for one block without keeping the factorization."""
     if jax.default_backend() == "cpu":
         return jnp.linalg.solve(S, B)
-    from jax.scipy.linalg import lu_solve  # noqa: PLC0415
-
-    return lu_solve(_lu_pivoted(S), B)
+    lu, piv = _lu_pivoted(S)
+    return _lu_solve_packed(lu, piv, B)
 
 
 class BlockTridiagFactor(NamedTuple):
@@ -138,11 +177,9 @@ def block_tridiag_factor(D: jnp.ndarray, E: jnp.ndarray) -> BlockTridiagFactor:
 
 def block_tridiag_solve(fac: BlockTridiagFactor, b: jnp.ndarray) -> jnp.ndarray:
     """Solve the factored system for b of shape (N, w)."""
-    from jax.scipy.linalg import lu_solve  # noqa: PLC0415
-
     nblocks, w = b.shape
     if nblocks == 1:
-        return lu_solve((fac.lu[0], fac.piv[0]), b[0])[None]
+        return _block_lu_solve(fac.lu[0], fac.piv[0], b[0])[None]
 
     # Forward: y_0 = b_0; y_{k+1} = b_{k+1} − W_k y_k
     def fwd(y_prev, inputs):
@@ -154,9 +191,7 @@ def block_tridiag_solve(fac: BlockTridiagFactor, b: jnp.ndarray) -> jnp.ndarray:
     y = jnp.concatenate([ys, y_last[None]], axis=0)
 
     # Diagonal solves: z_k = Sₖ⁻¹ y_k (batched pivoted LU)
-    z = jax.vmap(lambda lu_k, piv_k, yk: lu_solve((lu_k, piv_k), yk))(
-        fac.lu, fac.piv, y
-    )
+    z = jax.vmap(_block_lu_solve)(fac.lu, fac.piv, y)
 
     # Backward: x_N = z_N; x_k = z_k − (S_k⁻¹ E_kᵀ) x_{k+1} = z_k − W_kᵀ x_{k+1}
     def bwd(x_next, inputs):
@@ -178,6 +213,237 @@ def block_tridiag_inertia(fac: BlockTridiagFactor, eps: float):
     negative = jnp.sum(d < -eps)
     zero = d.size - positive - negative
     return positive, negative, zero
+
+
+# ---------------------------------------------------------------------------
+# Partitioned (SPIKE/Schur) factorization: the TPU-fast path
+# ---------------------------------------------------------------------------
+#
+# The sequential block-Thomas scan costs ~(K · ops-per-step) · ~10-30 µs of
+# device control overhead per tiny f64 op on the TPU (measured ~54 ms at
+# K=101, w=13 on v5e — two orders above the arithmetic cost). The
+# partitioned factorization eliminates the interiors of P contiguous
+# partitions IN PARALLEL (one batched scan of L-1 steps over the P-wide
+# batch axis), then factors the P-block reduced interface system
+# (recursively partitioned again while it stays large). Sequential depth
+# drops from K to ~2·sqrt(K) per level. Block elimination is a symmetric
+# congruence, so interior pivots + reduced pivots expose the exact
+# inertia (Sylvester), exactly as in the plain scan.
+#
+# This is also the communication structure of the multi-device time-axis
+# partition (SURVEY.md §7 step 5): each device owns partitions, the
+# reduced interface system is the only cross-device coupling.
+
+
+@jax.tree_util.register_pytree_node_class
+class PartitionedFactor:
+    """Factor from partitioned Schur elimination.
+
+    Interior data is stacked (L-1, P, w, w): step-major so the batched
+    forward/backward scans read contiguous slices. `red` is the factor of
+    the P-block reduced interface system (recursively a PartitionedFactor
+    or a BlockTridiagFactor). The partition geometry (nblocks, L, P) is
+    static pytree aux data so it survives tree.map merges under jit.
+    """
+
+    def __init__(self, int_lu, int_piv, int_d, U, E_in, red, nblocks, L, P):
+        self.int_lu = int_lu  # (L-1, P, w, w) pivoted-LU of interior S_i
+        self.int_piv = int_piv  # (L-1, P, w) int32
+        self.int_d = int_d  # (L-1, P, w) unpivoted-LDLT pivots (inertia)
+        self.U = U  # (L-1, P, w, w) fill A(b_i, I_{p-1})
+        self.E_in = E_in  # (L-1, P, w, w) within-partition couplings
+        self.red = red  # factor of the reduced (P, w, w) system
+        self.nblocks = nblocks  # original (unpadded) block count
+        self.L = L
+        self.P = P
+
+    def tree_flatten(self):
+        return (
+            (self.int_lu, self.int_piv, self.int_d, self.U, self.E_in,
+             self.red),
+            (self.nblocks, self.L, self.P),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def _choose_partitions(nblocks: int) -> tuple[int, int]:
+    """Pick (P, L) with P·L ≥ nblocks, L ≈ √K (minimizes L+P depth)."""
+    L = max(2, int(np.ceil(np.sqrt(nblocks))))
+    P = int(np.ceil(nblocks / L))
+    return P, L
+
+
+#: Below this size the reduced system uses the sequential scan.
+_PART_MIN_BLOCKS = 48
+
+
+def block_tridiag_factor_part(D: jnp.ndarray, E: jnp.ndarray):
+    """Partitioned factorization of a block-tridiagonal matrix.
+
+    Same contract as block_tridiag_factor (diagonal blocks D (K, w, w),
+    sub-diagonal E (K-1, w, w)); returns a PartitionedFactor.
+    """
+    K, w, _ = D.shape
+    if K < _PART_MIN_BLOCKS:
+        return block_tridiag_factor(D, E)
+    P, L = _choose_partitions(K)
+    pad = P * L - K
+    if pad:
+        D = jnp.concatenate(
+            [D, jnp.broadcast_to(jnp.eye(w, dtype=D.dtype), (pad, w, w))]
+        )
+        E = jnp.concatenate(
+            [E, jnp.zeros((P * L - 1 - E.shape[0], w, w), D.dtype)]
+        )
+
+    # Partition p owns global blocks [pL, (p+1)L); its INTERFACE is the
+    # last block (p+1)L-1; the L-1 interior blocks come first.
+    Dp = D.reshape(P, L, w, w)
+    D_int = jnp.swapaxes(Dp[:, : L - 1], 0, 1)  # (L-1, P, w, w)
+    D_ifc = Dp[:, L - 1]  # (P, w, w)
+    # Within-partition couplings E_global[pL + i], i = 0..L-2
+    idx_in = (jnp.arange(P)[:, None] * L + jnp.arange(L - 1)[None, :])
+    E_in = jnp.swapaxes(E[idx_in], 0, 1)  # (L-1, P, w, w)
+    # Boundary couplings A(b_0^{(p)}, I_{p-1}) = E_global[pL-1] (p >= 1)
+    U0 = jnp.concatenate(
+        [jnp.zeros((1, w, w), D.dtype), E[jnp.arange(1, P) * L - 1]]
+    )  # (P, w, w)
+
+    def step(carry, inputs):
+        S, U, dDl = carry  # S: (P,w,w) current interior Schur;
+        # U: (P,w,w) fill A(b_i, I_{p-1}); dDl: accumulated -U^T S^{-1} U
+        D_next, E_i = inputs
+        lu, piv = jax.vmap(_block_factor)(S)
+        _l, dpiv = jax.vmap(_ldlt_unblocked)(S)
+        SinvEt = jax.vmap(_block_lu_solve)(lu, piv, jnp.swapaxes(E_i, 1, 2))
+        SinvU = jax.vmap(_block_lu_solve)(lu, piv, U)
+        S_next = D_next - jnp.einsum("pab,pbc->pac", E_i, SinvEt)
+        U_next = -jnp.einsum("pab,pbc->pac", E_i, SinvU)
+        dDl_next = dDl - jnp.einsum("pba,pbc->pac", U, SinvU)
+        return (S_next, U_next, dDl_next), (lu, piv, dpiv, U)
+
+    init = (D_int[0], U0, jnp.zeros((P, w, w), D.dtype))
+    inputs = (
+        jnp.concatenate([D_int[1:], D_ifc[None]], axis=0),
+        E_in,
+    )
+    (S_last, U_last, dDl), (int_lu, int_piv, int_d, U_stack) = lax.scan(
+        step, init, inputs
+    )
+    # After eliminating all L-1 interiors: S_last is the condensed OWN
+    # interface diagonal D(I_p) - fills; U_last the condensed coupling
+    # A(I_p, I_{p-1}); dDl the correction to D(I_{p-1}).
+    D_red = S_last + jnp.concatenate(
+        [dDl[1:], jnp.zeros((1, w, w), D.dtype)], axis=0
+    )
+    E_red = U_last[1:]  # A(I_p, I_{p-1}) for p >= 1
+
+    red = block_tridiag_factor_part(D_red, E_red)
+    return PartitionedFactor(
+        int_lu=int_lu,
+        int_piv=int_piv,
+        int_d=int_d,
+        U=U_stack,
+        E_in=E_in,
+        red=red,
+        nblocks=K,
+        L=L,
+        P=P,
+    )
+
+
+def block_tridiag_solve_part(fac, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve with a block_tridiag_factor_part result; b is (K, w)."""
+    if not isinstance(fac, PartitionedFactor):
+        return block_tridiag_solve(fac, b)
+    K, w = fac.nblocks, b.shape[1]
+    P, L = fac.P, fac.L
+    pad = P * L - K
+    if pad:
+        b = jnp.concatenate([b, jnp.zeros((pad, w), b.dtype)])
+    bp = b.reshape(P, L, w)
+    y0 = jnp.swapaxes(bp[:, : L - 1], 0, 1)  # (L-1, P, w)
+    b_ifc = bp[:, L - 1]  # (P, w)
+
+    # Forward: z_i = S_i^{-1} y_i; y_{i+1} -= E_i z_i; b(I_{p-1}) -= U_i^T z_i
+    def fwd(carry, inputs):
+        y_next_corr, dbl = carry  # correction flowing to the next block
+        y_i, lu, piv, E_i, U_i = inputs
+        y_i = y_i + y_next_corr
+        z = jax.vmap(_block_lu_solve)(lu, piv, y_i)
+        corr = -jnp.einsum("pab,pb->pa", E_i, z)
+        dbl_next = dbl - jnp.einsum("pba,pb->pa", U_i, z)
+        return (corr, dbl_next), y_i
+
+    (last_corr, dbl), y_eff = lax.scan(
+        fwd,
+        (jnp.zeros((P, w), b.dtype), jnp.zeros((P, w), b.dtype)),
+        (y0, fac.int_lu, fac.int_piv, fac.E_in, fac.U),
+    )
+    b_red = (
+        b_ifc
+        + last_corr
+        + jnp.concatenate([dbl[1:], jnp.zeros((1, w), b.dtype)], axis=0)
+    )
+    x_ifc = block_tridiag_solve_part(fac.red, b_red)  # (P, w)
+
+    # Backward: x_i = S_i^{-1} (y_i - E_i^T x_{i+1} - U_i x_{I_{p-1}})
+    x_left = jnp.concatenate(
+        [jnp.zeros((1, w), b.dtype), x_ifc[:-1]], axis=0
+    )  # (P, w) interface left of each partition
+
+    def bwd(x_next, inputs):
+        y_i, lu, piv, E_i, U_i = inputs
+        rhs = (
+            y_i
+            - jnp.einsum("pba,pb->pa", E_i, x_next)
+            - jnp.einsum("pab,pb->pa", U_i, x_left)
+        )
+        x_i = jax.vmap(_block_lu_solve)(lu, piv, rhs)
+        return x_i, x_i
+
+    _, xs_rev = lax.scan(
+        bwd,
+        x_ifc,
+        (
+            y_eff[::-1],
+            fac.int_lu[::-1],
+            fac.int_piv[::-1],
+            fac.E_in[::-1],
+            fac.U[::-1],
+        ),
+    )
+    x_int = jnp.swapaxes(xs_rev[::-1], 0, 1)  # (P, L-1, w)
+    x = jnp.concatenate([x_int, x_ifc[:, None]], axis=1).reshape(P * L, w)
+    return x[:K]
+
+
+def part_inertia(fac, eps: float):
+    """Inertia from interior + reduced pivots (congruence; identity
+    padding contributes exactly +w each, subtracted here)."""
+    if not isinstance(fac, PartitionedFactor):
+        return block_tridiag_inertia(fac, eps)
+    pos = jnp.sum(fac.int_d > eps)
+    neg = jnp.sum(fac.int_d < -eps)
+    total = fac.int_d.size
+    rpos, rneg, rzero = part_inertia(fac.red, eps)
+    pos = pos + rpos
+    neg = neg + rneg
+    total += rpos + rneg + rzero
+    pad_pos = (fac.P * fac.L - fac.nblocks) * fac.int_d.shape[-1]
+    pos = pos - pad_pos
+    zero = (total - pad_pos) - pos - neg
+    return pos, neg, zero
+
+
+def part_pivots(fac) -> list:
+    """All pivot arrays of a (possibly recursive) partitioned factor."""
+    if not isinstance(fac, PartitionedFactor):
+        return [fac.d]
+    return [fac.int_d] + part_pivots(fac.red)
 
 
 # ---------------------------------------------------------------------------

@@ -36,8 +36,12 @@ from sleipnir_tpu.ops.block_tridiag import (
     bcr_inertia,
     bcr_solve,
     block_tridiag_factor,
+    block_tridiag_factor_part,
     block_tridiag_inertia,
     block_tridiag_solve,
+    block_tridiag_solve_part,
+    part_inertia,
+    part_pivots,
 )
 from sleipnir_tpu.optimization.solver.kkt_backend import (
     RegLoopResult,
@@ -199,6 +203,21 @@ class BandedBackend:
         self.ce_raw = ce_raw
         self.ci_raw = ci_raw
         self.use_bcr = _use_bcr(structure.num_stages)
+        # On accelerators, the partitioned (SPIKE/Schur) factorization
+        # replaces the sequential block-Thomas scan at long horizons:
+        # sequential depth ~2·sqrt(K) of BATCHED steps instead of K.
+        # Measured on v5e at w=13: the scan costs ~0.5 ms per stage
+        # (~54 ms/attempt at K=101) while a partitioned batched step costs
+        # ~8 ms (substitution-dominated), so the crossover sits near
+        # K≈256; below it the scan wins, above it the partitioned depth
+        # advantage dominates (K=5000: ~140 batched steps vs 5000
+        # sequential ones). CPU keeps the scan (LAPACK per-block is fast;
+        # lower flop count wins there at every size measured).
+        self.use_partitioned = (
+            not self.use_bcr
+            and jax.default_backend() != "cpu"
+            and structure.num_stages >= 256
+        )
 
         K, m, p, q = st.num_stages, st.stage_width, st.eq_pad, st.ineq_pad
         nb = int(np.asarray(st.border).shape[0])
@@ -502,6 +521,35 @@ class BandedBackend:
 
     # -- factorization -----------------------------------------------------
 
+    def assemble_staged(self, d: BandedDerivs, sigma, delta, gamma):
+        """Assemble the staged KKT blocks (D (K, w, w), E (K-1, w, w)) for
+        a given regularization — the matrix the factorization works on.
+        Used by the multi-device time-axis dryrun to drive the sharded
+        factorization on a real system."""
+        K, m, w = self.K, self.m, self.w
+        if self.mi > 0:
+            sig_st = self._stage_ineq(sigma)
+            AiTSAi = jnp.einsum(
+                "kqm,kq,kqn->kmn", d.Ailoc, sig_st, d.Ailoc
+            )
+        else:
+            AiTSAi = jnp.zeros((K, m, m), self.dtype)
+        D = jnp.zeros((K, w, w), self.dtype)
+        D = D.at[:, :m, :m].set(
+            d.Hd + AiTSAi + delta * jnp.eye(m, dtype=self.dtype)[None]
+        )
+        D = D.at[:, :m, m:].set(jnp.swapaxes(d.Aloc, 1, 2))
+        D = D.at[:, m:, :m].set(d.Aloc)
+        idx = jnp.arange(m, w)
+        D = D.at[:, idx, idx].set(
+            jnp.where(self._eq_slot_real, -gamma, -1.0)
+        )
+        E = jnp.zeros((max(K - 1, 0), w, w), self.dtype)
+        if K > 1:
+            E = E.at[:, :m, :m].set(d.Hc)
+            E = E.at[:, :m, m:].set(jnp.swapaxes(d.Anext[:-1], 1, 2))
+        return D, E
+
     def factor(self, d: BandedDerivs, sigma, prev_delta, gamma_min):
         K, m, p, q, w = self.K, self.m, self.p, self.q, self.w
         eps = float(np.finfo(np.dtype(self.dtype)).eps)
@@ -532,7 +580,7 @@ class BandedBackend:
 
         nb = self.nb
         col0, e0 = self._assemble_border(d, sigma)
-        inner_solve = bcr_solve if self.use_bcr else block_tridiag_solve
+        inner_solve = bcr_solve if self.use_bcr else block_tridiag_solve_part
         from jax import lax  # noqa: PLC0415
         from sleipnir_tpu.ops.ldlt import _ldlt_unblocked  # noqa: PLC0415
 
@@ -550,6 +598,10 @@ class BandedBackend:
                 fac = bcr_factor(Ds, Es)
                 pos, neg, zero = bcr_inertia(fac, eps_inertia, K)
                 pivots = [fac.final.d] + [lv.do for lv in fac.levels]
+            elif self.use_partitioned:
+                fac = block_tridiag_factor_part(Ds, Es)
+                pos, neg, zero = part_inertia(fac, eps_inertia)
+                pivots = part_pivots(fac)
             else:
                 fac = block_tridiag_factor(Ds, Es)
                 pos, neg, zero = block_tridiag_inertia(fac, eps_inertia)
@@ -646,7 +698,7 @@ class BandedBackend:
     def _bordered_solve(self, fac: BandedFactor, b, b_b):
         """Solve the full arrowhead system given the factor: returns
         (staged solution (K, w), border solution (nb,))."""
-        inner_solve = bcr_solve if self.use_bcr else block_tridiag_solve
+        inner_solve = bcr_solve if self.use_bcr else block_tridiag_solve_part
         u0 = fac.s * inner_solve(fac.fac, fac.s * b)
         if self.nb == 0:
             return u0, b_b
