@@ -37,13 +37,11 @@ def _lu_pivoted(A):
 
     XLA:TPU has no f64 LuDecomposition custom call, so the accelerator
     path cannot use jax.scipy.linalg.lu_factor; this compiles to plain
-    arithmetic on any backend. The w elimination steps are UNROLLED
-    (w is the small static stage width, not the horizon): on TPU each
-    `lax.fori_loop`/`scan` step costs ~30 µs of sequential control
-    overhead, and this routine runs inside the per-stage factorization
-    scan — a nested device loop here made the whole block-tridiagonal
-    factorization ~50 ms at K=101 (measured on v5e; unrolled straight-line
-    steps fuse instead)."""
+    arithmetic on any backend. O(w) sequential fori steps for a (w, w)
+    block — w is the small stage width, not the horizon. (Measured on
+    v5e at K=101, w=13: the fori form costs ~54 ms inside the stage scan
+    vs ~76 ms fully unrolled — the unrolled body's extra per-op dispatch
+    overhead outweighs the loop-control saving, so the loop stays.)"""
     n = A.shape[0]
     idx = jnp.arange(n)
 
@@ -65,10 +63,8 @@ def _lu_pivoted(A):
         LU = LU.at[:, k].set(jnp.where(idx > k, factors, LU[:, k]))
         return LU, piv
 
-    carry = (A, jnp.zeros((n,), jnp.int32))
-    for k in range(n):
-        carry = body(k, carry)
-    return carry
+    piv0 = jnp.zeros((n,), jnp.int32)
+    return lax.fori_loop(0, n, body, (A, piv0))
 
 
 def _lu_solve_packed(LU, piv, b):
