@@ -100,6 +100,9 @@ class IPMState(NamedTuple):
     #: Diagnostics: ∞-norms of the last accepted primal/dual steps.
     p_pr_inf: jnp.ndarray
     p_du_inf: jnp.ndarray
+    #: Consecutive iterations the local-infeasibility certificate has
+    #: held (see step(): the exit requires persistence).
+    infeas_streak: jnp.ndarray
     #: Runtime parameter vector (non-decision variables; see funcs.bind).
     params: jnp.ndarray
     #: Problem scaling, recomputed per solve at x0 (reference problem.hpp:616).
@@ -225,6 +228,7 @@ def make_interior_point(
             alpha_z=jnp.asarray(1.0, dtype),
             p_pr_inf=jnp.asarray(0.0, dtype),
             p_du_inf=jnp.asarray(0.0, dtype),
+            infeas_streak=jnp.asarray(0, jnp.int32),
             params=params,
             scaling=scaling,
         )
@@ -901,6 +905,20 @@ def make_interior_point(
             ) & (jnp.linalg.norm(c_i_plus) > 1e-6)
         else:
             ineq_infeasible = jnp.asarray(False)
+        # PERSISTENCE requirement (robustness improvement over the
+        # reference, which exits on the first crossing,
+        # interior_point.hpp:387-403): the KNITRO §6 certificate
+        # ‖Aᵀc‖→0 ∧ ‖c‖>ε can hold transiently at iterates the line
+        # search merely passes through — observed on cart-pole N=24/T=4
+        # (spurious LOCALLY_INFEASIBLE on a feasible problem) and under
+        # injected 1e-8 derivative noise (tests/solver/
+        # test_noise_robustness.py). Require 5 consecutive iterations.
+        infeas_now = eq_infeasible | ineq_infeasible
+        infeas_streak = jnp.where(
+            infeas_now, st.infeas_streak + 1, 0
+        ).astype(jnp.int32)
+        locally_infeasible = infeas_streak >= 5
+        st = st._replace(infeas_streak=infeas_streak)
         diverging = (
             (jnp.max(jnp.abs(st.x), initial=0.0) > DIVERGENCE_LIMIT)
             | ~jnp.all(jnp.isfinite(st.x))
@@ -912,7 +930,7 @@ def make_interior_point(
         )
 
         early_status = jnp.where(
-            eq_infeasible | ineq_infeasible,
+            locally_infeasible,
             int(ExitStatus.LOCALLY_INFEASIBLE),
             jnp.where(
                 diverging,
@@ -920,7 +938,7 @@ def make_interior_point(
                 int(ExitStatus.CALLBACK_REQUESTED_STOP),
             ),
         ).astype(jnp.int32)
-        early = eq_infeasible | ineq_infeasible | diverging | requested_stop
+        early = locally_infeasible | diverging | requested_stop
 
         return lax.cond(
             early,

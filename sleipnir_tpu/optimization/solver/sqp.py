@@ -61,6 +61,9 @@ class SQPState(NamedTuple):
     iterations: jnp.ndarray
     status: jnp.ndarray
     alpha: jnp.ndarray
+    #: Consecutive iterations the local-infeasibility certificate has
+    #: held (see step(): the exit requires persistence).
+    infeas_streak: jnp.ndarray
     #: Runtime parameter vector (non-decision variables; see funcs.bind).
     params: jnp.ndarray
     #: Problem scaling, recomputed per solve at x0 (reference problem.hpp:477).
@@ -156,6 +159,7 @@ def make_sqp(funcs: SQPFunctions, options: Options, *, backend=None):
             iterations=jnp.asarray(iterations0, jnp.int32),
             status=status,
             alpha=jnp.asarray(1.0, dtype),
+            infeas_streak=jnp.asarray(0, jnp.int32),
             params=params,
             scaling=scaling,
         )
@@ -499,23 +503,30 @@ def make_sqp(funcs: SQPFunctions, options: Options, *, backend=None):
 
     def step(st: SQPState) -> SQPState:
         # Local infeasibility check (reference
-        # solver/util/is_locally_infeasible.hpp:18-38) via backend products.
+        # solver/util/is_locally_infeasible.hpp:18-38) via backend
+        # products, with the 5-iteration persistence requirement (see
+        # interior_point.step for the rationale).
         if me > 0:
             eq_infeasible = (
                 jnp.linalg.norm(backend.AeT(st.derivs, st.c_e)) < 1e-6
             ) & (jnp.linalg.norm(st.c_e) > 1e-2)
         else:
             eq_infeasible = jnp.asarray(False)
+        infeas_streak = jnp.where(
+            eq_infeasible, st.infeas_streak + 1, 0
+        ).astype(jnp.int32)
+        locally_infeasible = infeas_streak >= 5
+        st = st._replace(infeas_streak=infeas_streak)
         diverging = (
             jnp.max(jnp.abs(st.x), initial=0.0) > DIVERGENCE_LIMIT
         ) | ~jnp.all(jnp.isfinite(st.x))
         early_status = jnp.where(
-            eq_infeasible,
+            locally_infeasible,
             int(ExitStatus.LOCALLY_INFEASIBLE),
             int(ExitStatus.DIVERGING_ITERATES),
         ).astype(jnp.int32)
         return lax.cond(
-            eq_infeasible | diverging,
+            locally_infeasible | diverging,
             lambda s: s._replace(status=early_status),
             iteration_body,
             st,
