@@ -36,13 +36,11 @@ def lerp(a, b, t):
 
 
 def cross(a, b) -> VariableMatrix:
-    return VariableMatrix(
-        [
-            [a[1, 0] * b[2, 0] - a[2, 0] * b[1, 0]],
-            [a[2, 0] * b[0, 0] - a[0, 0] * b[2, 0]],
-            [a[0, 0] * b[1, 0] - a[1, 0] * b[0, 0]],
-        ]
-    )
+    """3-vector cross product a x b via cyclic index rotation."""
+    rows = []
+    for i, j in ((1, 2), (2, 0), (0, 1)):
+        rows.append([a[i, 0] * b[j, 0] - a[j, 0] * b[i, 0]])
+    return VariableMatrix(rows)
 
 
 def f(x):
