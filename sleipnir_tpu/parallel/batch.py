@@ -8,6 +8,12 @@ is one *vmapped* solver state pytree sharded across a `jax.sharding.Mesh`
 batch axis — every IPM iteration's KKT assembly, factorization, and line
 search runs data-parallel on all chips with no communication, and XLA
 inserts collectives only for the final argmin reduction.
+
+TPU precision caveat: a fully-vmapped solve batches ALL arithmetic, so
+on TPU its derivative probes ride the MXU's multi-pass-f32 f64 emulation
+(~1e-8-class Jacobian noise — docs/tpu_numerics.md). Batched solves on
+TPU should therefore request tolerances >= ~1e-6, or be re-polished
+single-instance; the single-solve path is exact (lax.map probes).
 """
 
 from __future__ import annotations
