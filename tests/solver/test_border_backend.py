@@ -136,3 +136,49 @@ def test_border_solution_matches_dense_backend():
     assert dt_banded * N == pytest.approx(dt_dense * N, rel=1e-6)
     # Same trajectory class: iteration counts in the same ballpark
     assert iters_banded <= 3 * int(ocp2._last_state.iterations) + 20
+
+
+def test_border_dense_reconstruction_matches_autodiff():
+    """backend.dense() (the observability path used by callbacks/spy)
+    must reproduce the full H/A_e/A_i including the border column."""
+    import jax
+    import jax.numpy as jnp
+
+    from sleipnir_tpu.optimization.solver.funcs import bind, ScalingArrays
+    from sleipnir_tpu.optimization.solver.options import Options
+
+    ocp = _min_time_double_integrator(8, TimestepMethod.VARIABLE_SINGLE)
+    comp, bundle = ocp.prepare_ipm(Options())
+    funcs = bundle[3]
+    backend = bundle[-1]
+    assert backend.nb == 1
+
+    n, me, mi = comp["n"], comp["me"], comp["mi"]
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(0.1 + 0.05 * rng.standard_normal(n))
+    y = jnp.asarray(rng.standard_normal(me))
+    z = jnp.asarray(0.5 + 0.1 * rng.standard_normal(mi) ** 2)
+    params = jnp.asarray(comp["compiled"].gather_params())
+    sc = ScalingArrays(
+        f=jnp.asarray(1.0), c_e=jnp.ones(me), c_i=jnp.ones(mi)
+    )
+    F = bind(funcs, params, sc, jnp.float64)
+    d = backend.eval_derivs(F, x, y, z)
+    H, A_e, A_i = backend.dense(d)
+
+    # Oracles from plain dense autodiff of the same functions
+    ce = lambda xv: sc.c_e * backend.ce_raw(xv, params)  # noqa: E731
+    ci = lambda xv: sc.c_i * backend.ci_raw(xv, params)  # noqa: E731
+    A_e_ref = np.asarray(jax.jacfwd(ce)(x))
+    A_i_ref = np.asarray(jax.jacfwd(ci)(x))
+
+    def lag(xv):
+        out = sc.f * backend.f_raw(xv, params)
+        out = out - (sc.c_e * y) @ backend.ce_raw(xv, params)
+        out = out - (sc.c_i * z) @ backend.ci_raw(xv, params)
+        return out
+
+    H_ref = np.asarray(jax.hessian(lag)(x))
+    np.testing.assert_allclose(A_e, A_e_ref, atol=1e-10)
+    np.testing.assert_allclose(A_i, A_i_ref, atol=1e-10)
+    np.testing.assert_allclose(H, H_ref, atol=1e-8)
