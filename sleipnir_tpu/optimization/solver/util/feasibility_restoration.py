@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -374,33 +375,42 @@ def lagrange_multiplier_estimate(
     return y, z
 
 
-def _restore_banded(
-    parent,
-    parent_state,
-    options,
-    parent_backend,
-    x_r,
-    s_r,
-    c_e0,
-    c_i0,
-    mu,
-    fr_mu,
-    zeta,
-    D_r_j,
-    x_r_j,
-    p_e0,
-    n_e0,
-    p_i0,
-    n_i0,
-    alpha,
-    iterations0,
-    start_time,
-):
-    """Stage-banded feasibility restoration (see restore())."""
+_BANDED_FR_CACHE: dict = {}
+
+
+def _banded_fr_bundle(parent, parent_backend, options, P0: int):
+    """Build (or fetch) the COMPILED banded restoration solver for a
+    parent problem structure.
+
+    All per-invocation VALUES (restoration anchor x_r, damping D_r, zeta,
+    the parent's barrier/step-size/filter state for the early-stop check,
+    and the parent scaling) ride in the runtime parameter vector, so the
+    jitted step/runner programs depend only on the problem STRUCTURE and
+    compile exactly once per (parent, options) — previously every
+    restoration invocation rebuilt the closures and paid a full retrace +
+    XLA compile (~20 s per warm solve on CPU, minutes on TPU)."""
     from sleipnir_tpu.optimization.solver.kkt_banded import (
         BandedBackend,
         StageStructure,
     )
+    from sleipnir_tpu.optimization.solver.solve_driver import make_runner
+    from sleipnir_tpu.optimization.solver.util.filter import (
+        MAX_FILTER_ENTRIES,
+        FilterState,
+    )
+
+    key = (
+        id(parent),
+        id(parent_backend),
+        P0,
+        options.dtype,
+        float(options.tolerance),
+        int(options.max_iterations),
+        bool(options.feasible_ipm),
+    )
+    bundle = _BANDED_FR_CACHE.get(key)
+    if bundle is not None:
+        return bundle
 
     n = parent.num_decision_variables
     me = parent.num_equality_constraints
@@ -418,10 +428,10 @@ def _restore_banded(
     ci_stage = np.asarray(st.ci_stage)
     ci_slot = np.asarray(st.ci_slot)
 
-    # Flat layout: [x (n); extras (K·e2, stage-major)] with per-stage extras
+    # Flat layout: [x (n); extras (K*e2, stage-major)] with per-stage extras
     # ordered [p_e (p), n_e (p), p_i (q), n_i (q)]. Padded slots become
-    # dummy variables with their own ≥0 rows — they cost ρ·t, start at
-    # fr_μ, and decay with the barrier; keeping them preserves a uniform
+    # dummy variables with their own >=0 rows — they cost rho*t, start at
+    # fr_mu, and decay with the barrier; keeping them preserves a uniform
     # stage width.
     pe_idx = n + ce_stage * e2 + ce_slot
     ne_idx = n + ce_stage * e2 + p + ce_slot
@@ -432,33 +442,70 @@ def _restore_banded(
     pi_idx_j = jnp.asarray(pi_idx)
     ni_idx_j = jnp.asarray(ni_idx)
 
-    parent_sc = parent_state.scaling
     ones_sc = ScalingArrays(
         f=jnp.asarray(1.0),
         c_e=jnp.ones(me),
         c_i=jnp.ones(mi),
     )
 
+    # Runtime-parameter layout: [parent params; per-invocation values]
+    M = MAX_FILTER_ENTRIES
+    off: dict = {}
+    cur = P0
+    for name, size in (
+        ("x_r", n),
+        ("D_r", n),
+        ("zeta", 1),
+        ("mu", 1),
+        ("alpha", 1),
+        ("init_cost", 1),
+        ("init_viol", 1),
+        ("parent_g", n),
+        ("s_r", mi),
+        ("sc_f", 1),
+        ("sc_ce", me),
+        ("sc_ci", mi),
+        ("f_costs", M),
+        ("f_viols", M),
+        ("f_valid", M),
+        ("f_min", 1),
+        ("f_max", 1),
+        ("f_lr", 1),
+    ):
+        off[name] = (cur, cur + size)
+        cur += size
+    prm_len = cur
+
+    def sl(prm, name):
+        a, b = off[name]
+        return prm[a:b]
+
+    def sc1(prm, name):
+        a, _ = off[name]
+        return prm[a]
+
     def fr_f_raw(xp, prm):
         xx = xp[:n]
-        diff = xx - x_r_j
-        return RHO * jnp.sum(xp[n:]) + 0.5 * zeta * diff @ (D_r_j * diff)
+        diff = xx - sl(prm, "x_r")
+        return RHO * jnp.sum(xp[n:]) + 0.5 * sc1(prm, "zeta") * diff @ (
+            sl(prm, "D_r") * diff
+        )
 
     def fr_ce_raw(xp, prm):
-        base = parent.c_e(xp[:n], prm, ones_sc)
+        base = parent.c_e(xp[:n], prm[:P0], ones_sc)
         if me == 0:
             return base
         return base - xp[pe_idx_j] + xp[ne_idx_j]
 
     def fr_ci_raw(xp, prm):
-        top = parent.c_i(xp[:n], prm, ones_sc)
+        top = parent.c_i(xp[:n], prm[:P0], ones_sc)
         if mi > 0:
             top = top - xp[pi_idx_j] + xp[ni_idx_j]
         return jnp.concatenate([top, xp[n:]])
 
     # Stage structure of the augmented problem
     parent_staged = np.asarray(st.var_perm).reshape(K, m)
-    var_perm2 = np.empty(N2, dtype=np.int64)
+    var_perm2 = np.empty(K * m2, dtype=np.int64)
     for k in range(K):
         var_perm2[k * m2 : k * m2 + m] = parent_staged[k]
         var_perm2[k * m2 + m : (k + 1) * m2] = (
@@ -502,7 +549,9 @@ def _restore_banded(
         g=lambda xp, prm, sc: sc.f
         * jnp.concatenate(
             [
-                zeta * D_r_j * (xp[:n] - x_r_j),
+                sc1(prm, "zeta")
+                * sl(prm, "D_r")
+                * (xp[:n] - sl(prm, "x_r")),
                 jnp.full((N2 - n,), RHO, xp.dtype),
             ]
         ),
@@ -514,6 +563,135 @@ def _restore_banded(
         A_i=_raise,
     )
 
+    # Early-stop check: parent filter accepts the candidate with a 10x
+    # violation reduction (reference interior_point.hpp:738-756). All
+    # parent-state values come from the runtime params.
+    def stop_check(rst):
+        prm = rst.params
+        parent_sc_rt = ScalingArrays(
+            f=sc1(prm, "sc_f"),
+            c_e=sl(prm, "sc_ce"),
+            c_i=sl(prm, "sc_ci"),
+        )
+        mu_rt = sc1(prm, "mu")
+        x_r_rt = sl(prm, "x_r")
+        s_r_rt = sl(prm, "s_r")
+        tx = rst.x[:n]
+        ts = rst.s[:mi]
+        tf = parent.f(tx, prm[:P0], parent_sc_rt)
+        tce = parent.c_e(tx, prm[:P0], parent_sc_rt)
+        tci = parent.c_i(tx, prm[:P0], parent_sc_rt)
+        trial_cost = tf - mu_rt * jnp.sum(jnp.log(ts))
+        trial_viol = jnp.sum(jnp.abs(tce)) + jnp.sum(jnp.abs(tci - ts))
+        D_phi_r = sl(prm, "parent_g") @ (tx - x_r_rt) - mu_rt * jnp.sum(
+            (ts - s_r_rt) / s_r_rt
+        )
+        parent_filter = FilterState(
+            costs=sl(prm, "f_costs"),
+            viols=sl(prm, "f_viols"),
+            valid=sl(prm, "f_valid") > 0.5,
+            min_viol=sc1(prm, "f_min"),
+            max_viol=sc1(prm, "f_max"),
+            last_rejection_due_to_filter=sc1(prm, "f_lr") > 0.5,
+        )
+        acc, _ = try_add(
+            parent_filter,
+            sc1(prm, "init_cost"),
+            sc1(prm, "init_viol"),
+            trial_cost,
+            trial_viol,
+            D_phi_r,
+            sc1(prm, "alpha"),
+        )
+        return (trial_viol < 0.9 * sc1(prm, "init_viol")) & acc
+
+    fr_init, fr_step, _ = make_interior_point(
+        fr_funcs,
+        options,
+        in_feasibility_restoration=True,
+        stop_check=stop_check,
+        backend=fr_backend,
+    )
+    runner = make_runner(fr_step)
+
+    bundle = {
+        "fr_init": jax.jit(fr_init),
+        "fr_step": fr_step,
+        "runner": runner,
+        "off": off,
+        "prm_len": prm_len,
+        "dims": (n, me, mi, K, e2, N2, MI2),
+        "idx": (pe_idx, ne_idx, pi_idx, ni_idx),
+        # strong refs keep the id()-based cache key stable
+        "_refs": (parent, parent_backend),
+    }
+    _BANDED_FR_CACHE[key] = bundle
+    return bundle
+
+
+def _restore_banded(
+    parent,
+    parent_state,
+    options,
+    parent_backend,
+    x_r,
+    s_r,
+    c_e0,
+    c_i0,
+    mu,
+    fr_mu,
+    zeta,
+    D_r_j,
+    x_r_j,
+    p_e0,
+    n_e0,
+    p_i0,
+    n_i0,
+    alpha,
+    iterations0,
+    start_time,
+):
+    """Stage-banded feasibility restoration (see restore()); the compiled
+    solver comes from _banded_fr_bundle and is reused across invocations."""
+    P0 = int(np.asarray(parent_state.params).shape[0])
+    bundle = _banded_fr_bundle(parent, parent_backend, options, P0)
+    n, me, mi, K, e2, N2, MI2 = bundle["dims"]
+    pe_idx, ne_idx, pi_idx, ni_idx = bundle["idx"]
+    off = bundle["off"]
+
+    parent_sc = parent_state.scaling
+    filt = parent_state.filt
+    init_cost = float(parent_state.f) - mu * float(
+        np.sum(np.log(np.asarray(s_r)))
+    ) if mi > 0 else float(parent_state.f)
+    init_viol = float(np.sum(np.abs(c_e0)) + np.sum(np.abs(c_i0 - s_r)))
+
+    prm = np.zeros(bundle["prm_len"], dtype=np.float64)
+    prm[:P0] = np.asarray(parent_state.params, dtype=np.float64)
+
+    def put(name, value):
+        a, b = off[name]
+        prm[a:b] = np.asarray(value, dtype=np.float64).reshape(b - a)
+
+    put("x_r", x_r)
+    put("D_r", np.asarray(D_r_j))
+    put("zeta", zeta)
+    put("mu", mu)
+    put("alpha", alpha)
+    put("init_cost", init_cost)
+    put("init_viol", init_viol)
+    put("parent_g", np.asarray(parent_state.g))
+    put("s_r", s_r)
+    put("sc_f", np.asarray(parent_sc.f))
+    put("sc_ce", np.asarray(parent_sc.c_e))
+    put("sc_ci", np.asarray(parent_sc.c_i))
+    put("f_costs", np.asarray(filt.costs))
+    put("f_viols", np.asarray(filt.viols))
+    put("f_valid", np.asarray(filt.valid, dtype=np.float64))
+    put("f_min", np.asarray(filt.min_viol))
+    put("f_max", np.asarray(filt.max_viol))
+    put("f_lr", np.asarray(filt.last_rejection_due_to_filter, np.float64))
+
     fr_scaling = ScalingArrays(
         f=jnp.asarray(1.0),
         c_e=jnp.asarray(parent_sc.c_e),
@@ -522,8 +700,10 @@ def _restore_banded(
         ),
     )
 
-    # Starting point: dummies at fr_μ with synchronized slacks
+    # Starting point: dummies at fr_mu with synchronized slacks
     extras0 = np.full(K * e2, fr_mu)
+    # (border variables already live inside x_r's flat positions < n; the
+    # augmented vector is [x (n); extras (K*e2)] exactly as before)
     fr_x0 = np.concatenate([x_r, extras0])
     fr_x0[pe_idx] = p_e0
     fr_x0[ne_idx] = n_e0
@@ -534,54 +714,20 @@ def _restore_banded(
     with np.errstate(divide="ignore"):
         fr_z0 = np.concatenate([fr_mu / s_r, fr_mu / fr_x0[n:]])
 
-    # Early-stop check (same as the dense path)
-    parent_filter = parent_state.filt
-    parent_g = jnp.asarray(parent_state.g)
-    s_r_j = jnp.asarray(s_r)
-    init_cost = parent_state.f - mu * jnp.sum(jnp.log(jnp.asarray(s_r)))
-    init_viol = float(np.sum(np.abs(c_e0)) + np.sum(np.abs(c_i0 - s_r)))
-
-    def stop_check(rst):
-        tx = rst.x[:n]
-        ts = rst.s[:mi]
-        tf = parent.f(tx, rst.params, parent_sc)
-        tce = parent.c_e(tx, rst.params, parent_sc)
-        tci = parent.c_i(tx, rst.params, parent_sc)
-        trial_cost = tf - mu * jnp.sum(jnp.log(ts))
-        trial_viol = jnp.sum(jnp.abs(tce)) + jnp.sum(jnp.abs(tci - ts))
-        D_phi_r = parent_g @ (tx - x_r_j) - mu * jnp.sum(
-            (ts - s_r_j) / s_r_j
-        )
-        acc, _ = try_add(
-            parent_filter,
-            init_cost,
-            init_viol,
-            trial_cost,
-            trial_viol,
-            D_phi_r,
-            alpha,
-        )
-        return (trial_viol < 0.9 * init_viol) & acc
-
-    fr_init, fr_step, _ = make_interior_point(
-        fr_funcs,
-        options,
-        in_feasibility_restoration=True,
-        stop_check=stop_check,
-        backend=fr_backend,
-    )
-
-    state = fr_init(
+    state = bundle["fr_init"](
         fr_x0,
         fr_s0,
         fr_y0,
         fr_z0,
         fr_mu,
         iterations0,
-        parent_state.params,
+        prm,
         fr_scaling,
     )
-    state = run_solver(state, fr_step, options, start_time=start_time)
+    state = run_solver(
+        state, bundle["fr_step"], options, start_time=start_time,
+        runner=bundle["runner"],
+    )
 
     status = ExitStatus(int(state.status))
     x_new = np.asarray(state.x[:n])
@@ -589,7 +735,7 @@ def _restore_banded(
     iterations_out = int(state.iterations)
 
     def resume_duals(x_res, s_res):
-        # Dense least-squares dual estimation is O(m²n) — fine for small
+        # Dense least-squares dual estimation is O(m^2 n) — fine for small
         # problems, prohibitive at long horizons; reset duals there and
         # let the parent IPM re-estimate within a few iterations.
         pj = parent_state.params
