@@ -443,6 +443,392 @@ def part_pivots(fac) -> list:
 
 
 # ---------------------------------------------------------------------------
+# Explicit-inverse (substitution-free) factorization: the TPU latency path
+# ---------------------------------------------------------------------------
+#
+# Round-4 measurements (docs/tpu_numerics.md, docs/round4_notes.md) located
+# the TPU per-iteration latency floor in the *op count of the sequential
+# region*: every tiny emulated-f64 op inside the factorization's sequential
+# steps pays device control overhead, so the pivoted-LU + unrolled
+# triangular substitution (~190 ops per elimination step) dominated the
+# 109 ms/iteration factorization cost. The fix is to carry EXPLICIT block
+# inverses: each Schur complement Sₖ is inverted once (closed form for
+# w ≤ 3; an O(w)-step symmetric Gauss-Jordan "sweep" otherwise — each
+# sweep step is ~4 fused ops) and every subsequent use of Sₖ⁻¹ becomes one
+# batched matmul. The sweep pivots are exactly the unpivoted-LDLᵀ pivots
+# (after sweeping 0..k−1 the trailing block is the Schur complement of the
+# leading block), so the inertia extraction is unchanged.
+#
+# Stability: the sweep is unpivoted, the same class as the unpivoted LDLᵀ
+# the inertia extraction (and the reference's Eigen SimplicialLDLT) already
+# trusts; the callers Ruiz-equilibrate the KKT system to O(1) pivots and
+# run fixed-count iterative refinement against the exact KKT matvec, which
+# was measured to recover ~1e-13 relative solve error even on μ-floor
+# systems with cond ≈ 5e29 (docs/tpu_numerics.md "Linear-solve accuracy").
+# A Newton polish of each inverse (X ← X + X(I − S X), two batched
+# matmuls) squares the local residual at negligible cost.
+
+
+def _inv_pivots_sweep(A):
+    """Symmetric explicit inverse + LDLᵀ pivots via the sweep operator.
+
+    One fori step per row: ~4 fused ops on the full (w, w) block, versus
+    ~8 ops/row for pivoted LU *plus* ~6 ops/row for each later unrolled
+    substitution. Returns (A⁻¹, d) with d the unpivoted-LDLᵀ pivots.
+    """
+    w = A.shape[0]
+    idx = jnp.arange(w)
+
+    def body(k, carry):
+        A, d = carry
+        row = lax.dynamic_slice_in_dim(A, k, 1, 0)[0]  # (w,)
+        akk = row[k]
+        d = d.at[k].set(akk)
+        akk_safe = jnp.where(akk == 0.0, 1.0, akk)
+        r = row / akk_safe
+        ek = (idx == k).astype(A.dtype)
+        rk = row[k] / akk_safe
+        corr = rk + rk + 1.0 / akk_safe
+        A = (
+            A
+            - jnp.outer(row, r)
+            + jnp.outer(ek, r)
+            + jnp.outer(r, ek)
+            - corr * jnp.outer(ek, ek)
+        )
+        return A, d
+
+    A_swept, d = lax.fori_loop(0, w, body, (A, jnp.zeros((w,), A.dtype)))
+    return -A_swept, d
+
+
+def _inv_pivots_1(A):
+    a = A[0, 0]
+    return 1.0 / jnp.where(a == 0.0, 1.0, a)[None, None], A[0]
+
+
+def _inv_pivots_2(A):
+    a, b, c = A[0, 0], A[0, 1], A[1, 1]
+    det = a * c - b * b
+    det_safe = jnp.where(det == 0.0, 1.0, det)
+    T = jnp.stack([jnp.stack([c, -b]), jnp.stack([-b, a])]) / det_safe
+    d = jnp.stack([a, det / jnp.where(a == 0.0, 1.0, a)])
+    return T, d
+
+
+def _inv_pivots_3(A):
+    a, b, c = A[0, 0], A[0, 1], A[0, 2]
+    dd, e, f = A[1, 1], A[1, 2], A[2, 2]
+    C00 = dd * f - e * e
+    C01 = -(b * f - c * e)
+    C02 = b * e - c * dd
+    C11 = a * f - c * c
+    C12 = -(a * e - b * c)
+    C22 = a * dd - b * b
+    det = a * C00 + b * C01 + c * C02
+    det_safe = jnp.where(det == 0.0, 1.0, det)
+    T = (
+        jnp.stack(
+            [
+                jnp.stack([C00, C01, C02]),
+                jnp.stack([C01, C11, C12]),
+                jnp.stack([C02, C12, C22]),
+            ]
+        )
+        / det_safe
+    )
+    m2 = C22
+    d = jnp.stack(
+        [
+            a,
+            m2 / jnp.where(a == 0.0, 1.0, a),
+            det / jnp.where(m2 == 0.0, 1.0, m2),
+        ]
+    )
+    return T, d
+
+
+def _inv_pivots(A, polish: int = 1):
+    """Explicit inverse + unpivoted-LDLᵀ pivots of one symmetric block.
+
+    Closed-form adjugate for w ≤ 3 (zero sequential loop — the flywheel
+    OCP's entire stage block), sweep loop otherwise; `polish` Newton steps
+    (2 matmuls each) square the inversion residual."""
+    w = A.shape[0]
+    if w == 1:
+        T, d = _inv_pivots_1(A)
+    elif w == 2:
+        T, d = _inv_pivots_2(A)
+    elif w == 3:
+        T, d = _inv_pivots_3(A)
+    else:
+        T, d = _inv_pivots_sweep(A)
+    for _ in range(polish):
+        T = T + T @ (jnp.eye(w, dtype=A.dtype) - A @ T)
+        T = 0.5 * (T + T.T)
+    return T, d
+
+
+class BlockTridiagFactorInv(NamedTuple):
+    """Explicit-inverse factor of a block-tridiagonal symmetric matrix:
+    T[k] = Sₖ⁻¹ (Schur complements of the block-Thomas recursion), d the
+    unpivoted-LDLᵀ pivots of every Sₖ (inertia), W[k] = Eₖ Sₖ⁻¹."""
+
+    T: jnp.ndarray  # (N, w, w)
+    d: jnp.ndarray  # (N, w)
+    W: jnp.ndarray  # (N-1, w, w)
+
+
+def block_tridiag_factor_inv(D: jnp.ndarray, E: jnp.ndarray):
+    """Sequential block-Thomas factorization carrying explicit inverses.
+
+    Same contract as block_tridiag_factor; each scan step is one sweep
+    inversion + two matmuls (no LU, no substitutions)."""
+    nblocks, w, _ = D.shape
+    if nblocks == 1:
+        T0, d0 = _inv_pivots(D[0])
+        return BlockTridiagFactorInv(
+            T=T0[None], d=d0[None], W=jnp.zeros((0, w, w), D.dtype)
+        )
+
+    def step(S, inputs):
+        Dk1, Ek = inputs
+        T, d = _inv_pivots(S)
+        X = T @ Ek.T  # Sₖ⁻¹ Eₖᵀ
+        S_next = Dk1 - Ek @ X
+        return S_next, (T, d, X)
+
+    S_last, (Ts, ds, Xs) = lax.scan(step, D[0], (D[1:], E))
+    T_last, d_last = _inv_pivots(S_last)
+    return BlockTridiagFactorInv(
+        T=jnp.concatenate([Ts, T_last[None]], axis=0),
+        d=jnp.concatenate([ds, d_last[None]], axis=0),
+        W=jnp.swapaxes(Xs, 1, 2),
+    )
+
+
+def block_tridiag_solve_inv(fac: BlockTridiagFactorInv, b: jnp.ndarray):
+    """Solve with a block_tridiag_factor_inv result; b is (N, w).
+
+    Forward/backward scans are one matmul per step; the diagonal solves
+    are ONE batched einsum over all stages."""
+    nblocks, w = b.shape
+    if nblocks == 1:
+        return (fac.T[0] @ b[0])[None]
+
+    def fwd(y_prev, inputs):
+        bk1, Wk = inputs
+        yk1 = bk1 - Wk @ y_prev
+        return yk1, y_prev
+
+    y_last, ys = lax.scan(fwd, b[0], (b[1:], fac.W))
+    y = jnp.concatenate([ys, y_last[None]], axis=0)
+    z = jnp.einsum("kab,kb->ka", fac.T, y)
+
+    def bwd(x_next, inputs):
+        zk, Wk = inputs
+        xk = zk - Wk.T @ x_next
+        return xk, x_next
+
+    x_first, xs_rev = lax.scan(bwd, z[-1], (z[:-1][::-1], fac.W[::-1]))
+    return jnp.concatenate([x_first[None], xs_rev[::-1]], axis=0)
+
+
+@jax.tree_util.register_pytree_node_class
+class PartitionedFactorInv:
+    """Partitioned (SPIKE/Schur) factor carrying explicit interior
+    inverses — the substitution-free analog of PartitionedFactor. Interior
+    solves are batched matmuls against int_T; `red` is recursively a
+    PartitionedFactorInv or a BlockTridiagFactorInv."""
+
+    def __init__(self, int_T, int_d, U, E_in, red, nblocks, L, P):
+        self.int_T = int_T  # (L-1, P, w, w) explicit interior inverses
+        self.int_d = int_d  # (L-1, P, w) LDLT pivots (inertia)
+        self.U = U  # (L-1, P, w, w) fill A(b_i, I_{p-1})
+        self.E_in = E_in  # (L-1, P, w, w) within-partition couplings
+        self.red = red
+        self.nblocks = nblocks
+        self.L = L
+        self.P = P
+
+    def tree_flatten(self):
+        return (
+            (self.int_T, self.int_d, self.U, self.E_in, self.red),
+            (self.nblocks, self.L, self.P),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+#: Below this block count the explicit-inverse path uses the sequential
+#: scan (the partition's batching can't pay for its padding/2-phase
+#: overhead on a handful of blocks).
+_PART_INV_MIN_BLOCKS = 24
+
+#: Partition length cap: keeps the recursion at 2-3 levels while bounding
+#: the sequential depth at long horizons (K=5000: 31+12+13 = 56 batched
+#: steps instead of the uncapped sqrt-K's 86).
+_PART_INV_MAX_L = 32
+
+
+def _choose_partitions_inv(nblocks: int) -> tuple[int, int]:
+    L = max(2, min(int(np.ceil(np.sqrt(nblocks))), _PART_INV_MAX_L))
+    P = int(np.ceil(nblocks / L))
+    return P, L
+
+
+def block_tridiag_factor_part_inv(D: jnp.ndarray, E: jnp.ndarray):
+    """Partitioned factorization with explicit-inverse interior blocks.
+
+    Same contract as block_tridiag_factor_part. Each batched elimination
+    step is one batched sweep inversion + five batched matmuls (~1/6 the
+    op count of the LU+substitution step it replaces)."""
+    K, w, _ = D.shape
+    if K < _PART_INV_MIN_BLOCKS:
+        return block_tridiag_factor_inv(D, E)
+    P, L = _choose_partitions_inv(K)
+    pad = P * L - K
+    if pad:
+        D = jnp.concatenate(
+            [D, jnp.broadcast_to(jnp.eye(w, dtype=D.dtype), (pad, w, w))]
+        )
+        E = jnp.concatenate(
+            [E, jnp.zeros((P * L - 1 - E.shape[0], w, w), D.dtype)]
+        )
+
+    Dp = D.reshape(P, L, w, w)
+    D_int = jnp.swapaxes(Dp[:, : L - 1], 0, 1)  # (L-1, P, w, w)
+    D_ifc = Dp[:, L - 1]  # (P, w, w)
+    idx_in = jnp.arange(P)[:, None] * L + jnp.arange(L - 1)[None, :]
+    E_in = jnp.swapaxes(E[idx_in], 0, 1)  # (L-1, P, w, w)
+    U0 = jnp.concatenate(
+        [jnp.zeros((1, w, w), D.dtype), E[jnp.arange(1, P) * L - 1]]
+    )  # (P, w, w)
+
+    def step(carry, inputs):
+        S, U, dDl = carry
+        D_next, E_i = inputs
+        T, dpiv = jax.vmap(_inv_pivots)(S)
+        TEt = jnp.einsum("pab,pcb->pac", T, E_i)  # Sᵢ⁻¹ Eᵢᵀ
+        TU = jnp.einsum("pab,pbc->pac", T, U)
+        S_next = D_next - jnp.einsum("pab,pbc->pac", E_i, TEt)
+        U_next = -jnp.einsum("pab,pbc->pac", E_i, TU)
+        dDl_next = dDl - jnp.einsum("pba,pbc->pac", U, TU)
+        return (S_next, U_next, dDl_next), (T, dpiv, U)
+
+    init = (D_int[0], U0, jnp.zeros((P, w, w), D.dtype))
+    inputs = (
+        jnp.concatenate([D_int[1:], D_ifc[None]], axis=0),
+        E_in,
+    )
+    (S_last, U_last, dDl), (int_T, int_d, U_stack) = lax.scan(
+        step, init, inputs
+    )
+    D_red = S_last + jnp.concatenate(
+        [dDl[1:], jnp.zeros((1, w, w), D.dtype)], axis=0
+    )
+    E_red = U_last[1:]
+    red = block_tridiag_factor_part_inv(D_red, E_red)
+    return PartitionedFactorInv(
+        int_T=int_T,
+        int_d=int_d,
+        U=U_stack,
+        E_in=E_in,
+        red=red,
+        nblocks=K,
+        L=L,
+        P=P,
+    )
+
+
+def block_tridiag_solve_part_inv(fac, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve with a block_tridiag_factor_part_inv result; b is (K, w)."""
+    if isinstance(fac, BlockTridiagFactorInv):
+        return block_tridiag_solve_inv(fac, b)
+    K, w = fac.nblocks, b.shape[1]
+    P, L = fac.P, fac.L
+    pad = P * L - K
+    if pad:
+        b = jnp.concatenate([b, jnp.zeros((pad, w), b.dtype)])
+    bp = b.reshape(P, L, w)
+    y0 = jnp.swapaxes(bp[:, : L - 1], 0, 1)  # (L-1, P, w)
+    b_ifc = bp[:, L - 1]  # (P, w)
+
+    def fwd(carry, inputs):
+        y_next_corr, dbl = carry
+        y_i, T_i, E_i, U_i = inputs
+        y_i = y_i + y_next_corr
+        z = jnp.einsum("pab,pb->pa", T_i, y_i)
+        corr = -jnp.einsum("pab,pb->pa", E_i, z)
+        dbl_next = dbl - jnp.einsum("pba,pb->pa", U_i, z)
+        return (corr, dbl_next), y_i
+
+    (last_corr, dbl), y_eff = lax.scan(
+        fwd,
+        (jnp.zeros((P, w), b.dtype), jnp.zeros((P, w), b.dtype)),
+        (y0, fac.int_T, fac.E_in, fac.U),
+    )
+    b_red = (
+        b_ifc
+        + last_corr
+        + jnp.concatenate([dbl[1:], jnp.zeros((1, w), b.dtype)], axis=0)
+    )
+    x_ifc = block_tridiag_solve_part_inv(fac.red, b_red)  # (P, w)
+
+    x_left = jnp.concatenate(
+        [jnp.zeros((1, w), b.dtype), x_ifc[:-1]], axis=0
+    )
+
+    def bwd(x_next, inputs):
+        y_i, T_i, E_i, U_i = inputs
+        rhs = (
+            y_i
+            - jnp.einsum("pba,pb->pa", E_i, x_next)
+            - jnp.einsum("pab,pb->pa", U_i, x_left)
+        )
+        x_i = jnp.einsum("pab,pb->pa", T_i, rhs)
+        return x_i, x_i
+
+    _, xs_rev = lax.scan(
+        bwd,
+        x_ifc,
+        (y_eff[::-1], fac.int_T[::-1], fac.E_in[::-1], fac.U[::-1]),
+    )
+    x_int = jnp.swapaxes(xs_rev[::-1], 0, 1)  # (P, L-1, w)
+    x = jnp.concatenate([x_int, x_ifc[:, None]], axis=1).reshape(P * L, w)
+    return x[:K]
+
+
+def inv_part_inertia(fac, eps: float):
+    """Inertia of an explicit-inverse factor (scan or partitioned)."""
+    if isinstance(fac, BlockTridiagFactorInv):
+        d = fac.d
+        positive = jnp.sum(d > eps)
+        negative = jnp.sum(d < -eps)
+        return positive, negative, d.size - positive - negative
+    pos = jnp.sum(fac.int_d > eps)
+    neg = jnp.sum(fac.int_d < -eps)
+    total = fac.int_d.size
+    rpos, rneg, rzero = inv_part_inertia(fac.red, eps)
+    pos = pos + rpos
+    neg = neg + rneg
+    total += rpos + rneg + rzero
+    pad_pos = (fac.P * fac.L - fac.nblocks) * fac.int_d.shape[-1]
+    pos = pos - pad_pos
+    zero = (total - pad_pos) - pos - neg
+    return pos, neg, zero
+
+
+def inv_part_pivots(fac) -> list:
+    """All pivot arrays of an explicit-inverse factor."""
+    if isinstance(fac, BlockTridiagFactorInv):
+        return [fac.d]
+    return [fac.int_d] + inv_part_pivots(fac.red)
+
+
+# ---------------------------------------------------------------------------
 # Block cyclic reduction: the parallel factorization
 # ---------------------------------------------------------------------------
 

@@ -498,11 +498,12 @@ class OCP(Problem):
         if x_ids.shape != (ns, K) or u_ids.shape != (ni, K):
             return self._dense_fallback("X/U shape mismatch")
         if variable_per_step:
+            if not isinstance(self._DT.expr, DecVarExpr):
+                return self._dense_fallback(
+                    "DT was overwritten with an expression"
+                )
             dt_ids = self._DT.expr.ids  # (1, K)
-            if not isinstance(self._DT.expr, DecVarExpr) or dt_ids.shape != (
-                1,
-                K,
-            ):
+            if dt_ids.shape != (1, K):
                 return self._dense_fallback("DT shape mismatch")
 
         stage_of_id = {}

@@ -35,6 +35,36 @@ class RegLoopResult(NamedTuple):
     ok: jnp.ndarray
 
 
+#: Number of δ-candidates factored AT ONCE in the regularization ladder
+#: (including the unregularized candidate). Measured on the v5e (K=101,
+#: w=13): factoring 4 candidates in one vmapped call costs 1.08x ONE
+#: factorization — the batch axis rides along for free because the
+#: factorization cost is sequential-step/kernel-dispatch overhead, not
+#: arithmetic (docs/tpu_numerics.md "Per-op device overhead"). The
+#: sequential escalation paid ~2 full factorizations per iteration.
+#: On CPU the 4-wide ladder costs ~4x one factorization in flops but
+#: replaces ~2 sequential attempts and picks the SMALLEST acceptable δ
+#: (measured on the flagship: 218 iterations / no restoration excursion
+#: vs the sequential loop's 221 + excursion), so it stays on by default
+#: everywhere. SLEIPNIR_TPU_LADDER=1 restores the sequential escalation.
+LADDER = 4
+
+
+def _ladder_depth(dtype) -> int:
+    import os  # noqa: PLC0415
+
+    override = os.environ.get("SLEIPNIR_TPU_LADDER")
+    if override is not None:
+        return max(1, int(override))
+    # f32 pivots near the inertia threshold (eps^0.75 ≈ 2e-5) are noisy
+    # enough that a 4-rung smallest-ideal selection jumps between rungs
+    # and can stall the solve (tests/optimization/test_dtype_axis.py f32);
+    # depth 2 still removes the wasted sequential (0, 0) attempt.
+    if np.dtype(dtype) == np.float32:
+        return 2
+    return LADDER
+
+
 def regularization_loop(
     factor_with: Callable,
     ideal_pos: int,
@@ -44,22 +74,23 @@ def regularization_loop(
     dtype,
 ) -> RegLoopResult:
     """Shared inertia-correction escalation
-    (reference sparse_regularized_ldlt.hpp:64-151).
+    (reference sparse_regularized_ldlt.hpp:64-151), restructured as a
+    batched candidate ladder.
 
     `factor_with(delta, gamma)` returns (fac, pos, neg, zero, failed) where
     fac is any pytree of arrays.
+
+    One vmapped call factors {(0, 0), (δ₀, γ_min), (10δ₀, γ_min),
+    (100δ₀, γ_min)} together and the SMALLEST candidate with ideal inertia
+    wins — the common cases (unregularized ok; one or two δ escalations)
+    cost one batched factorization instead of 2-3 sequential ones. γ stays
+    at γ_min on the ladder so the reference's diagnosis-dependent γ
+    escalation (has_zero/too_positive → γ×10,
+    sparse_regularized_ldlt.hpp:118-143) is reproduced exactly by the
+    sequential fallback loop, which takes over from the ladder's top rung
+    in the rare case no rung has ideal inertia.
     """
     eps = float(np.finfo(np.dtype(dtype)).eps)
-
-    fac0, pos0, neg0, zero0, failed0 = factor_with(
-        jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)
-    )
-    unregularized_ok = (
-        (pos0 == ideal_pos)
-        & (neg0 == ideal_neg)
-        & (zero0 == 0)
-        & ~failed0
-    )
 
     delta0 = jnp.where(
         prev_delta == 0.0,
@@ -67,6 +98,40 @@ def regularization_loop(
         jnp.maximum(prev_delta / 2.0, eps),
     )
     gamma0 = jnp.asarray(gamma_min, dtype)
+
+    # ---- batched candidate ladder ------------------------------------
+    ladder = _ladder_depth(dtype)
+    deltas = jnp.concatenate(
+        [
+            jnp.zeros((1,), dtype),
+            delta0 * (10.0 ** jnp.arange(ladder - 1, dtype=dtype)),
+        ]
+    )
+    gammas = jnp.concatenate(
+        [jnp.zeros((1,), dtype), jnp.full((ladder - 1,), gamma0)]
+    )
+    if ladder == 1:
+        lfac, pos0, neg0, zero0, failed0 = factor_with(deltas[0], gammas[0])
+        lideal = (
+            (pos0 == ideal_pos) & (neg0 == ideal_neg) & (zero0 == 0)
+            & ~failed0
+        )[None]
+        lfac = jax.tree.map(lambda a: a[None], lfac)
+    else:
+        lfac, lpos, lneg, lzero, lfailed = jax.vmap(factor_with)(
+            deltas, gammas
+        )
+        lideal = (
+            (lpos == ideal_pos) & (lneg == ideal_neg) & (lzero == 0)
+            & ~lfailed
+        )
+    ranks = jnp.arange(ladder)
+    pick = jnp.min(jnp.where(lideal, ranks, ladder))
+    any_ok = pick < ladder
+    pick_c = jnp.minimum(pick, ladder - 1)
+    fac_pick = jax.tree.map(lambda a: a[pick_c], lfac)
+    delta_pick = deltas[pick_c]
+    gamma_pick = gammas[pick_c]
 
     class Carry(NamedTuple):
         fac: object
@@ -129,24 +194,28 @@ def regularization_loop(
             failed=overflow & ~ideal,
         )
 
-    # When the unregularized factorization already has ideal inertia (the
-    # common case at most iterations), skip the escalation loop entirely —
-    # entering it would pay one full extra factorization.
+    # Sequential fallback: takes over one decade above the ladder's top
+    # rung. lax.cond skips it entirely (device-side) when a rung won.
     init = Carry(
-        fac=fac0,
-        delta=delta0,
+        fac=fac_pick,
+        delta=delta0 * (10.0 ** (ladder - 1)),
         gamma=gamma0,
-        done=unregularized_ok,
+        done=any_ok,
         failed=jnp.asarray(False),
     )
-    out = lax.while_loop(cond, body, init)
+    out = lax.cond(
+        any_ok,
+        lambda c: c,
+        lambda c: lax.while_loop(cond, body, c),
+        init,
+    )
 
     fac = jax.tree.map(
-        lambda a, b: jnp.where(unregularized_ok, a, b), fac0, out.fac
+        lambda a, b: jnp.where(any_ok, a, b), fac_pick, out.fac
     )
-    delta = jnp.where(unregularized_ok, 0.0, out.delta)
-    gamma = jnp.where(unregularized_ok, 0.0, out.gamma)
-    ok = unregularized_ok | out.done
+    delta = jnp.where(any_ok, delta_pick, out.delta)
+    gamma = jnp.where(any_ok, gamma_pick, out.gamma)
+    ok = any_ok | out.done
     return RegLoopResult(fac=fac, delta=delta, gamma=gamma, ok=ok)
 
 

@@ -37,9 +37,13 @@ from sleipnir_tpu.ops.block_tridiag import (
     bcr_solve,
     block_tridiag_factor,
     block_tridiag_factor_part,
+    block_tridiag_factor_part_inv,
     block_tridiag_inertia,
     block_tridiag_solve,
     block_tridiag_solve_part,
+    block_tridiag_solve_part_inv,
+    inv_part_inertia,
+    inv_part_pivots,
     part_inertia,
     part_pivots,
 )
@@ -162,6 +166,25 @@ class BandedFactor(NamedTuple):
     ok: jnp.ndarray
 
 
+def _use_inv() -> bool:
+    """Explicit-inverse (substitution-free) factorization path.
+
+    Default ON for accelerators: the per-sequential-step device overhead
+    (~0.3 ms per outermost loop trip, ~30-80 µs per fused kernel — see
+    docs/tpu_numerics.md round-5 update) makes the pivoted-LU + unrolled
+    substitution path latency-bound, while the sweep-inverse path does
+    ~1/6 the kernels per elimination step and turns every solve into
+    batched matmuls. CPU keeps LAPACK blocks (lower flop count wins
+    there). SLEIPNIR_TPU_INV=0/1 overrides (tests force 1 on CPU to cover
+    the accelerator path)."""
+    import os  # noqa: PLC0415
+
+    override = os.environ.get("SLEIPNIR_TPU_INV")
+    if override is not None:
+        return override != "0"
+    return jax.default_backend() != "cpu"
+
+
 def _use_bcr(num_stages: int) -> bool:
     """Parallel block cyclic reduction is the depth-log alternative to the
     sequential stage scan for accelerators. It is currently OPT-IN
@@ -203,6 +226,7 @@ class BandedBackend:
         self.ce_raw = ce_raw
         self.ci_raw = ci_raw
         self.use_bcr = _use_bcr(structure.num_stages)
+        self.use_inv = not self.use_bcr and _use_inv()
         # On accelerators, the partitioned (SPIKE/Schur) factorization
         # replaces the sequential block-Thomas scan at long horizons:
         # sequential depth ~2·sqrt(K) of BATCHED steps instead of K.
@@ -580,7 +604,12 @@ class BandedBackend:
 
         nb = self.nb
         col0, e0 = self._assemble_border(d, sigma)
-        inner_solve = bcr_solve if self.use_bcr else block_tridiag_solve_part
+        if self.use_inv:
+            inner_solve = block_tridiag_solve_part_inv
+        elif self.use_bcr:
+            inner_solve = bcr_solve
+        else:
+            inner_solve = block_tridiag_solve_part
         from jax import lax  # noqa: PLC0415
         from sleipnir_tpu.ops.ldlt import _ldlt_unblocked  # noqa: PLC0415
 
@@ -594,7 +623,11 @@ class BandedBackend:
             idx = jnp.arange(m, w)
             D = D.at[:, idx, idx].set(diag_vals)
             Ds, Es, s_eq = _equilibrate(D, E)
-            if self.use_bcr:
+            if self.use_inv:
+                fac = block_tridiag_factor_part_inv(Ds, Es)
+                pos, neg, zero = inv_part_inertia(fac, eps_inertia)
+                pivots = inv_part_pivots(fac)
+            elif self.use_bcr:
                 fac = bcr_factor(Ds, Es)
                 pos, neg, zero = bcr_inertia(fac, eps_inertia, K)
                 pivots = [fac.final.d] + [lv.do for lv in fac.levels]
@@ -698,7 +731,12 @@ class BandedBackend:
     def _bordered_solve(self, fac: BandedFactor, b, b_b):
         """Solve the full arrowhead system given the factor: returns
         (staged solution (K, w), border solution (nb,))."""
-        inner_solve = bcr_solve if self.use_bcr else block_tridiag_solve_part
+        if self.use_inv:
+            inner_solve = block_tridiag_solve_part_inv
+        elif self.use_bcr:
+            inner_solve = bcr_solve
+        else:
+            inner_solve = block_tridiag_solve_part
         u0 = fac.s * inner_solve(fac.fac, fac.s * b)
         if self.nb == 0:
             return u0, b_b

@@ -375,7 +375,11 @@ def lagrange_multiplier_estimate(
     return y, z
 
 
-_BANDED_FR_CACHE: dict = {}
+#: Attribute name under which compiled restoration bundles are cached ON
+#: the parent BandedBackend object — the cache dies with the backend (no
+#: unbounded module-global growth, no id()-reuse collisions) and the key
+#: carries every Options field the compiled program captures.
+_BANDED_FR_CACHE_ATTR = "_banded_fr_bundles"
 
 
 def _banded_fr_bundle(parent, parent_backend, options, P0: int):
@@ -401,14 +405,20 @@ def _banded_fr_bundle(parent, parent_backend, options, P0: int):
 
     key = (
         id(parent),
-        id(parent_backend),
         P0,
         options.dtype,
         float(options.tolerance),
         int(options.max_iterations),
         bool(options.feasible_ipm),
     )
-    bundle = _BANDED_FR_CACHE.get(key)
+    # parent is an IPMFunctions NamedTuple (no attribute storage);
+    # parent_backend is the 1:1 BandedBackend object, so the cache lives
+    # there and dies with it.
+    cache = getattr(parent_backend, _BANDED_FR_CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(parent_backend, _BANDED_FR_CACHE_ATTR, cache)
+    bundle = cache.get(key)
     if bundle is not None:
         return bundle
 
@@ -622,10 +632,10 @@ def _banded_fr_bundle(parent, parent_backend, options, P0: int):
         "prm_len": prm_len,
         "dims": (n, me, mi, K, e2, N2, MI2),
         "idx": (pe_idx, ne_idx, pi_idx, ni_idx),
-        # strong refs keep the id()-based cache key stable
-        "_refs": (parent, parent_backend),
+        # strong ref keeps the id(parent) key component stable
+        "_refs": (parent,),
     }
-    _BANDED_FR_CACHE[key] = bundle
+    cache[key] = bundle
     return bundle
 
 

@@ -6,8 +6,10 @@ regularization, step sizes, and dual norms. Diffing the CPU and TPU traces
 locates the first iteration where the backends split (VERDICT r3 task 1).
 
 Usage:
-    JAX_PLATFORMS=cpu python tools/trace_solve.py /tmp/trace_cpu.csv
+    TRACE_CPU=1 python tools/trace_solve.py /tmp/trace_cpu.csv
     python tools/trace_solve.py /tmp/trace_tpu.csv          # default device
+(Shell JAX_PLATFORMS is overridden by the axon sitecustomize; TRACE_CPU
+switches the platform after import, which is the override that works.)
 Env:
     TRACE_N       horizon length (default 100)
     TRACE_MAXIT   max iterations (default 5000)
