@@ -1,0 +1,387 @@
+"""Block-tridiagonal factor/solve as single Pallas TPU kernels.
+
+THE latency lever for the IPM on TPU (SURVEY.md §7 step 3's "Pallas
+blocked factorization"): XLA's emulated-f64 factorization pays ~0.25-0.35
+ms of device overhead per sequential loop trip and ~30-80 µs per fused
+kernel (docs/tpu_numerics.md round-5 measurements), so a K-stage
+block-Thomas scan is floored at ~K/3 ms regardless of arithmetic. These
+kernels run the ENTIRE factorization (and solve) inside one Pallas
+program in double-float (2xf32, ops/dd.py) at ~2^-46 effective precision
+— the same class as the emulation — with per-stage cost measured in
+microseconds instead of a third of a millisecond.
+
+Design notes:
+  - Per-stage pivoted LU uses a SWAP-FREE one-hot formulation: the pivot
+    row is selected by argmax, extracted and eliminated with exact {0,1}
+    mask multiplies, and the row permutation is accumulated as a one-hot
+    matrix P (one-hot matmuls are exact in f32 — single-term sums). No
+    dynamic indexing inside the kernel.
+  - All double-float operations are 2D elementwise or rank-1 updates
+    (column-oriented substitution/matmul), never dd reductions.
+  - Backward stability matches the pivoted-LU XLA path: L entries are
+    bounded by partial pivoting, U keeps a substitution solve — the
+    Schur chain stays backward stable (see ops/block_tridiag.py
+    "Explicit-inverse" stability note for why that is load-bearing).
+  - Inertia: unpivoted-LDLT pivots of every Schur complement are computed
+    in dd alongside the LU (Sylvester congruence, exactly as the XLA
+    paths do).
+
+Reference being replaced: the Eigen SimplicialLDLT factorization inside
+reference/include/sleipnir/optimization/solver/util/regularized_ldlt.hpp
+and the serial elimination loop of interior_point.hpp:426-465.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sleipnir_tpu.ops import dd
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+def _lu_factor_dd(Sh, Sl, w):
+    """Swap-free pivoted LU of one (w, w) dd block.
+
+    Returns (Lh, Ll, Uh, Ul, P) with P A = L U (P a one-hot (w, w)
+    permutation matrix, L unit-lower in step space, U upper)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    Lh = jnp.zeros((w, w), jnp.float32)
+    Ll = jnp.zeros((w, w), jnp.float32)
+    Uh = jnp.zeros((w, w), jnp.float32)
+    Ul = jnp.zeros((w, w), jnp.float32)
+    P = jnp.zeros((w, w), jnp.float32)
+    active = jnp.ones((w, 1), jnp.float32)
+    Ah, Al = Sh, Sl
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    for k in range(w):
+        ek_col = (cols == k).astype(jnp.float32)  # (1, w)
+        ckh = jnp.sum(Ah * ek_col, axis=1, keepdims=True)  # exact gather
+        ckl = jnp.sum(Al * ek_col, axis=1, keepdims=True)
+        score = jnp.abs(ckh) * active - (1.0 - active)
+        p = jnp.argmax(score[:, 0])
+        op = (rows == p).astype(jnp.float32)  # (w, 1)
+        pivot_h = jnp.sum(op * ckh)
+        pivot_l = jnp.sum(op * ckl)
+        # multipliers for the remaining active rows
+        fh, fl = dd.div2(ckh, ckl, pivot_h, pivot_l)
+        mask_f = active * (1.0 - op)
+        fh = fh * mask_f
+        fl = fl * mask_f
+        rowp_h = jnp.sum(op * Ah, axis=0, keepdims=True)  # (1, w) exact
+        rowp_l = jnp.sum(op * Al, axis=0, keepdims=True)
+        # A <- A - f ⊗ rowp (only affects active non-pivot rows)
+        th, tl = dd.mul2(fh, fl, rowp_h, rowp_l)
+        Ah, Al = dd.sub2(Ah, Al, th, tl)
+        ek_row = (rows == k).astype(jnp.float32)  # (w, 1) step index
+        Lh = Lh + fh * ek_col
+        Ll = Ll + fl * ek_col
+        Uh = Uh + ek_row * rowp_h
+        Ul = Ul + ek_row * rowp_l
+        P = P + ek_row * op[:, 0][None, :]
+        active = active * (1.0 - op)
+    # L to step space: L' = P @ L (exact one-hot matmul), unit diagonal
+    Lh = jnp.dot(P, Lh, preferred_element_type=jnp.float32)
+    Ll = jnp.dot(P, Ll, preferred_element_type=jnp.float32)
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    ).astype(jnp.float32)
+    Lh = Lh + eye
+    return Lh, Ll, Uh, Ul, P
+
+
+def _ldlt_pivots_dd(Sh, Sl, w):
+    """Unpivoted-LDLT pivots of one (w, w) dd block (inertia only).
+    Returns (dh, dl) of shape (1, w)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    dh = jnp.zeros((1, w), jnp.float32)
+    dl = jnp.zeros((1, w), jnp.float32)
+    Ah, Al = Sh, Sl
+    for j in range(w):
+        ej_col = (cols == j).astype(jnp.float32)
+        ej_row = (rows == j).astype(jnp.float32)
+        djh = jnp.sum(Ah * ej_col * ej_row[:, 0][:, None])
+        djl = jnp.sum(Al * ej_col * ej_row[:, 0][:, None])
+        dh = dh + djh * ej_col
+        dl = dl + djl * ej_col
+        colh = jnp.sum(Ah * ej_col, axis=1, keepdims=True)
+        coll = jnp.sum(Al * ej_col, axis=1, keepdims=True)
+        mask = (rows > j).astype(jnp.float32)
+        lh, ll = dd.div2(colh * mask, coll * mask, djh, djl)
+        # A <- A - d_j * l lᵀ
+        oh, ol = dd.mul2(lh, ll, lh[:, 0][None, :], ll[:, 0][None, :])
+        th, tl = dd.mul2(oh, ol, djh, djl)
+        Ah, Al = dd.sub2(Ah, Al, th, tl)
+    return dh, dl
+
+
+def _tri_solve_dd(Lh, Ll, Uh, Ul, P, bh, bl, w):
+    """Solve (P⁻¹ L U) x = b for one block; b is (w, r) dd."""
+    # y = P b (exact)
+    yh = jnp.dot(P, bh, preferred_element_type=jnp.float32)
+    yl = jnp.dot(P, bl, preferred_element_type=jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    # forward substitution, column-oriented: y[j+1:] -= L[:, j] * y[j]
+    for j in range(w - 1):
+        ej = (cols == j).astype(jnp.float32)
+        cjh = jnp.sum(Lh * ej, axis=1, keepdims=True) * (
+            rows > j
+        ).astype(jnp.float32)
+        cjl = jnp.sum(Ll * ej, axis=1, keepdims=True) * (
+            rows > j
+        ).astype(jnp.float32)
+        yjh = jnp.sum(yh * (rows == j), axis=0, keepdims=True)
+        yjl = jnp.sum(yl * (rows == j), axis=0, keepdims=True)
+        th, tl = dd.mul2(cjh, cjl, yjh, yjl)
+        yh, yl = dd.sub2(yh, yl, th, tl)
+    # back substitution with U
+    for k in range(w - 1, -1, -1):
+        ek_col = (cols == k).astype(jnp.float32)
+        ek_row = (rows == k).astype(jnp.float32)
+        ukkh = jnp.sum(Uh * ek_col * ek_row[:, 0][:, None])
+        ukkl = jnp.sum(Ul * ek_col * ek_row[:, 0][:, None])
+        ykh = jnp.sum(yh * ek_row, axis=0, keepdims=True)
+        ykl = jnp.sum(yl * ek_row, axis=0, keepdims=True)
+        zh, zl = dd.div2(ykh, ykl, ukkh, ukkl)
+        # write back row k
+        yh = yh * (1.0 - ek_row) + zh * ek_row
+        yl = yl * (1.0 - ek_row) + zl * ek_row
+        # eliminate from rows above: y[:k] -= U[:k, k] * z
+        ckh = jnp.sum(Uh * ek_col, axis=1, keepdims=True) * (
+            rows < k
+        ).astype(jnp.float32)
+        ckl = jnp.sum(Ul * ek_col, axis=1, keepdims=True) * (
+            rows < k
+        ).astype(jnp.float32)
+        th, tl = dd.mul2(ckh, ckl, zh, zl)
+        yh, yl = dd.sub2(yh, yl, th, tl)
+    return yh, yl
+
+
+def _matmul_dd(Ah, Al, Bh, Bl, w):
+    """C = A @ B for (w, w) dd blocks, column-rank-1 accumulation."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    Ch = jnp.zeros((w, w), jnp.float32)
+    Cl = jnp.zeros((w, w), jnp.float32)
+    for k in range(w):
+        ek_col = (cols == k).astype(jnp.float32)
+        ek_row = (rows == k).astype(jnp.float32)
+        ach = jnp.sum(Ah * ek_col, axis=1, keepdims=True)
+        acl = jnp.sum(Al * ek_col, axis=1, keepdims=True)
+        brh = jnp.sum(Bh * ek_row, axis=0, keepdims=True)
+        brl = jnp.sum(Bl * ek_row, axis=0, keepdims=True)
+        th, tl = dd.mul2(ach, acl, brh, brl)
+        Ch, Cl = dd.add2(Ch, Cl, th, tl)
+    return Ch, Cl
+
+
+class PallasBandedFactor(NamedTuple):
+    """Factor produced by pallas_banded_factor (all leaves f32 pairs)."""
+
+    Lh: jnp.ndarray  # (K, w, w) unit-lower (step space)
+    Ll: jnp.ndarray
+    Uh: jnp.ndarray  # (K, w, w) upper
+    Ul: jnp.ndarray
+    P: jnp.ndarray  # (K, w, w) one-hot row permutations
+    dh: jnp.ndarray  # (K, w) LDLT pivots of the Schur chain (inertia)
+    dl: jnp.ndarray
+    Xh: jnp.ndarray  # (K-1, w, w) X_k = S_k⁻¹ E_kᵀ
+    Xl: jnp.ndarray
+
+
+def _factor_kernel(w, K, Dh_ref, Dl_ref, Eh_ref, El_ref,
+                   Lh_ref, Ll_ref, Uh_ref, Ul_ref, P_ref,
+                   dh_ref, dl_ref, Xh_ref, Xl_ref):
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    def stage(k, carry):
+        Sh, Sl = carry
+        dh, dl = _ldlt_pivots_dd(Sh, Sl, w)
+        dh_ref[k] = dh[0]
+        dl_ref[k] = dl[0]
+        Lh, Ll, Uh, Ul, P = _lu_factor_dd(Sh, Sl, w)
+        Lh_ref[k] = Lh
+        Ll_ref[k] = Ll
+        Uh_ref[k] = Uh
+        Ul_ref[k] = Ul
+        P_ref[k] = P
+        # X = S⁻¹ Eₖᵀ ; S_next = D_{k+1} − Eₖ X. The coupling work is
+        # computed unconditionally (the k = K-1 result is discarded by
+        # the select below) so only the ref WRITE is predicated.
+        kk = jnp.minimum(k, K - 2)
+        Eh = Eh_ref[kk]
+        El = El_ref[kk]
+        Xh, Xl = _tri_solve_dd(Lh, Ll, Uh, Ul, P, Eh.T, El.T, w)
+
+        @pl.when(k < K - 1)
+        def _():
+            Xh_ref[kk] = Xh
+            Xl_ref[kk] = Xl
+
+        Th, Tl = _matmul_dd(Eh, El, Xh, Xl, w)
+        k1 = jnp.minimum(k + 1, K - 1)
+        Sh_next, Sl_next = dd.sub2(Dh_ref[k1], Dl_ref[k1], Th, Tl)
+        last = k >= K - 1
+        Sh_next = jnp.where(last, Sh, Sh_next)
+        Sl_next = jnp.where(last, Sl, Sl_next)
+        return Sh_next, Sl_next
+
+    jax.lax.fori_loop(0, K, stage, (Dh_ref[0], Dl_ref[0]))
+
+
+def _matvec_T_dd(Mh, Ml, vh, vl, w, transpose):
+    """(Mᵀ v) if transpose else (M v), column-rank-1 in dd; v is (w, 1)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    acch = jnp.zeros((w, 1), jnp.float32)
+    accl = jnp.zeros((w, 1), jnp.float32)
+    for j in range(w):
+        ej = (rows == j).astype(jnp.float32)
+        vjh = jnp.sum(vh * ej)
+        vjl = jnp.sum(vl * ej)
+        if transpose:
+            # column j of Mᵀ = row j of M
+            cjh = jnp.sum(Mh * ej, axis=0)[:, None]
+            cjl = jnp.sum(Ml * ej, axis=0)[:, None]
+        else:
+            cjh = jnp.sum(Mh * ej[:, 0][None, :], axis=1)[:, None]
+            cjl = jnp.sum(Ml * ej[:, 0][None, :], axis=1)[:, None]
+        th, tl = dd.mul2(cjh, cjl, vjh, vjl)
+        acch, accl = dd.add2(acch, accl, th, tl)
+    return acch, accl
+
+
+def _solve_kernel(w, K, Lh_ref, Ll_ref, Uh_ref, Ul_ref, P_ref,
+                  Xh_ref, Xl_ref, bh_ref, bl_ref, xh_ref, xl_ref):
+    # Forward: y_{k+1} = b_{k+1} − W_k y_k with W_k = X_kᵀ; y_k is stored
+    # into the output refs (reused as scratch) at each step, including
+    # the final y_{K-1}.
+    def fwd(k, carry):
+        yh, yl = carry  # (w, 1) current y_k
+        xh_ref[k] = yh[:, 0]
+        xl_ref[k] = yl[:, 0]
+        kk = jnp.minimum(k, K - 2)
+        acch, accl = _matvec_T_dd(
+            Xh_ref[kk], Xl_ref[kk], yh, yl, w, transpose=True
+        )
+        k1 = jnp.minimum(k + 1, K - 1)
+        bh1 = bh_ref[k1][:, None]
+        bl1 = bl_ref[k1][:, None]
+        return dd.sub2(bh1, bl1, acch, accl)
+
+    jax.lax.fori_loop(
+        0, K, fwd, (bh_ref[0][:, None], bl_ref[0][:, None])
+    )
+
+    # Top stage: x_{K-1} = S_{K-1}⁻¹ y_{K-1}
+    yh = xh_ref[K - 1][:, None]
+    yl = xl_ref[K - 1][:, None]
+    zh, zl = _tri_solve_dd(
+        Lh_ref[K - 1], Ll_ref[K - 1], Uh_ref[K - 1], Ul_ref[K - 1],
+        P_ref[K - 1], yh, yl, w,
+    )
+    xh_ref[K - 1] = zh[:, 0]
+    xl_ref[K - 1] = zl[:, 0]
+
+    # Backward: x_k = S_k⁻¹ y_k − (S_k⁻¹ E_kᵀ) x_{k+1} = z_k − X_k x_{k+1}
+    def bwd(i, carry):
+        xh_next, xl_next = carry  # (w, 1) solution at stage k+1
+        k = K - 2 - i
+        yh = xh_ref[k][:, None]
+        yl = xl_ref[k][:, None]
+        zh, zl = _tri_solve_dd(
+            Lh_ref[k], Ll_ref[k], Uh_ref[k], Ul_ref[k], P_ref[k],
+            yh, yl, w,
+        )
+        acch, accl = _matvec_T_dd(
+            Xh_ref[k], Xl_ref[k], xh_next, xl_next, w, transpose=False
+        )
+        xkh, xkl = dd.sub2(zh, zl, acch, accl)
+        xh_ref[k] = xkh[:, 0]
+        xl_ref[k] = xkl[:, 0]
+        return xkh, xkl
+
+    jax.lax.fori_loop(0, K - 1, bwd, (zh, zl))
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=())
+def pallas_banded_factor(D, E):
+    """Factor a block-tridiagonal system (f64 in) with the Pallas dd
+    kernel. Returns a PallasBandedFactor."""
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+    from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
+
+    K, w, _ = D.shape
+    Dh, Dl = dd.from_f64(D)
+    if E.shape[0] == K - 1 and K > 1:
+        Eh, El = dd.from_f64(E)
+    else:
+        Eh = jnp.zeros((max(K - 1, 1), w, w), jnp.float32)
+        El = jnp.zeros((max(K - 1, 1), w, w), jnp.float32)
+    if K == 1:
+        Eh = jnp.zeros((1, w, w), jnp.float32)
+        El = jnp.zeros((1, w, w), jnp.float32)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((K, w, w), jnp.float32),  # Lh
+        jax.ShapeDtypeStruct((K, w, w), jnp.float32),  # Ll
+        jax.ShapeDtypeStruct((K, w, w), jnp.float32),  # Uh
+        jax.ShapeDtypeStruct((K, w, w), jnp.float32),  # Ul
+        jax.ShapeDtypeStruct((K, w, w), jnp.float32),  # P
+        jax.ShapeDtypeStruct((K, w), jnp.float32),  # dh
+        jax.ShapeDtypeStruct((K, w), jnp.float32),  # dl
+        jax.ShapeDtypeStruct((max(K - 1, 1), w, w), jnp.float32),  # Xh
+        jax.ShapeDtypeStruct((max(K - 1, 1), w, w), jnp.float32),  # Xl
+    )
+    spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    kern = functools.partial(_factor_kernel, w, K)
+    outs = pl.pallas_call(
+        kern,
+        out_shape=out_shapes,
+        in_specs=[spec] * 4,
+        out_specs=(spec,) * 9,
+        interpret=_interpret(),
+    )(Dh, Dl, Eh, El)
+    return PallasBandedFactor(*outs)
+
+
+@jax.jit
+def pallas_banded_solve(fac: PallasBandedFactor, b):
+    """Solve with a pallas_banded_factor result; b (K, w) f64."""
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+    from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
+
+    K, w = b.shape
+    bh, bl = dd.from_f64(b)
+    spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    kern = functools.partial(_solve_kernel, w, K)
+    xh, xl = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((K, w), jnp.float32),
+            jax.ShapeDtypeStruct((K, w), jnp.float32),
+        ),
+        in_specs=[spec] * 9,
+        out_specs=(spec, spec),
+        interpret=_interpret(),
+    )(fac.Lh, fac.Ll, fac.Uh, fac.Ul, fac.P, fac.Xh, fac.Xl, bh, bl)
+    return dd.to_f64(xh, xl)
+
+
+def pallas_pivots(fac: PallasBandedFactor):
+    """LDLT pivots of the Schur chain, recombined to f64."""
+    return dd.to_f64(fac.dh, fac.dl)

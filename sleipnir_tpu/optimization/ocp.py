@@ -426,6 +426,9 @@ class OCP(Problem):
             BandedBackend,
         )
 
+        mesh, mesh_axis = (
+            self._time_mesh if self._time_mesh is not None else (None, "t")
+        )
         return BandedBackend(
             structure,
             comp["f"],
@@ -435,6 +438,8 @@ class OCP(Problem):
             comp["me"],
             comp["mi"],
             dtype,
+            mesh=mesh,
+            mesh_axis=mesh_axis,
         )
 
     @staticmethod

@@ -181,6 +181,18 @@ class Problem:
         #: CMakeLists.txt:35-38).
         self.enable_bound_projection = False
         self._last_state = None
+        self._time_mesh = None  # (Mesh, axis_name) — see set_time_axis_mesh
+
+    def set_time_axis_mesh(self, mesh, axis_name: str = "t") -> None:
+        """Shard the KKT factorization's stage (time) axis over a device
+        mesh (SURVEY §7 step 5). Only takes effect on problems that run
+        the banded OCP backend; the factorization becomes the SPIKE split
+        in sleipnir_tpu.parallel.time_axis (per-device interior
+        elimination, one all_gather + ppermute for the interface system),
+        with pivots exposed so inertia-corrected regularization runs
+        unchanged. Pass mesh=None to revert to single-device."""
+        self._time_mesh = None if mesh is None else (mesh, axis_name)
+        self._solver_cache.clear()
 
     # -- variable / cost / constraint registration -------------------------
 

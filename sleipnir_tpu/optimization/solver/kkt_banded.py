@@ -166,23 +166,42 @@ class BandedFactor(NamedTuple):
     ok: jnp.ndarray
 
 
+def _use_pallas() -> bool:
+    """Pallas double-float factor/solve kernels (ops/pallas_banded.py).
+
+    The whole block-Thomas factorization runs inside ONE Pallas program
+    in 2xf32 double-float arithmetic (~2^-46 effective precision, the
+    same class as XLA's f64 emulation), sidestepping the ~0.25-0.35 ms
+    per-sequential-trip device overhead that floors the XLA scan at
+    ~K/3 ms. Backward-stable (pivoted LU per Schur block), exact inertia
+    (dd LDLT pivots). SLEIPNIR_TPU_PALLAS=0/1 overrides; default ON for
+    TPU."""
+    import os  # noqa: PLC0415
+
+    override = os.environ.get("SLEIPNIR_TPU_PALLAS")
+    if override is not None:
+        return override != "0"
+    return jax.default_backend() == "tpu"
+
+
 def _use_inv() -> bool:
     """Explicit-inverse (substitution-free) factorization path.
 
-    Default ON for accelerators: the per-sequential-step device overhead
-    (~0.3 ms per outermost loop trip, ~30-80 µs per fused kernel — see
-    docs/tpu_numerics.md round-5 update) makes the pivoted-LU + unrolled
-    substitution path latency-bound, while the sweep-inverse path does
-    ~1/6 the kernels per elimination step and turns every solve into
-    batched matmuls. CPU keeps LAPACK blocks (lower flop count wins
-    there). SLEIPNIR_TPU_INV=0/1 overrides (tests force 1 on CPU to cover
-    the accelerator path)."""
+    Default OFF: explicit inverses are only forward-stable, and the
+    Schur-complement chain of a mid-solve IPM KKT system passes through
+    blocks with cond ~1e9-1e10 (measured on cart-pole N=100 at the
+    starting state, round 5) — a forward-error block inverse corrupts
+    every downstream Schur complement multiplicatively (observed residual
+    1e15 vs the pivoted-LU chain's 0.1, which iterative refinement then
+    polishes to 1e-13; backward stability is what propagates through
+    block elimination). The path remains available for well-conditioned
+    systems (SLEIPNIR_TPU_INV=1) and for the time-axis dryrun kernels."""
     import os  # noqa: PLC0415
 
     override = os.environ.get("SLEIPNIR_TPU_INV")
     if override is not None:
         return override != "0"
-    return jax.default_backend() != "cpu"
+    return False
 
 
 def _use_bcr(num_stages: int) -> bool:
@@ -215,6 +234,8 @@ class BandedBackend:
         me: int,
         mi: int,
         dtype,
+        mesh=None,
+        mesh_axis: str = "t",
     ) -> None:
         st = structure
         self.structure = st
@@ -225,8 +246,23 @@ class BandedBackend:
         self.f_raw = f_raw
         self.ce_raw = ce_raw
         self.ci_raw = ci_raw
-        self.use_bcr = _use_bcr(structure.num_stages)
-        self.use_inv = not self.use_bcr and _use_inv()
+        #: Optional jax.sharding.Mesh: shard the stage (time) axis of the
+        #: KKT factorization/solves over `mesh[mesh_axis]` (SURVEY §7
+        #: step 5). The factor is the SPIKE split in parallel/time_axis —
+        #: per-device explicit-inverse interior elimination, one
+        #: all_gather + ppermute for the interface system — and exposes
+        #: pivots, so the same δ/γ inertia-correction ladder drives it.
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self.use_pallas = mesh is None and _use_pallas()
+        self.use_bcr = (
+            mesh is None
+            and not self.use_pallas
+            and _use_bcr(structure.num_stages)
+        )
+        self.use_inv = (
+            not self.use_pallas and not self.use_bcr and _use_inv()
+        )
         # On accelerators, the partitioned (SPIKE/Schur) factorization
         # replaces the sequential block-Thomas scan at long horizons:
         # sequential depth ~2·sqrt(K) of BATCHED steps instead of K.
@@ -574,6 +610,88 @@ class BandedBackend:
             E = E.at[:, :m, m:].set(jnp.swapaxes(d.Anext[:-1], 1, 2))
         return D, E
 
+    def _inner_factor(self, Ds, Es, eps_inertia):
+        """Factor the equilibrated staged system with the selected
+        factorization; returns (fac, (pos, neg, zero), pivots)."""
+        K = self.K
+        if self.mesh is not None:
+            from sleipnir_tpu.parallel.time_axis import (  # noqa: PLC0415
+                pad_to_devices,
+                sharded_factor,
+                sharded_inertia,
+                sharded_pivots,
+            )
+
+            n_dev = self.mesh.shape[self.mesh_axis]
+            w = Ds.shape[-1]
+            Dp, Ep, _, _ = pad_to_devices(
+                Ds, Es, jnp.zeros((K, w), self.dtype), n_dev
+            )
+            fac = sharded_factor(self.mesh, self.mesh_axis, Dp, Ep, k_orig=K)
+            return (
+                fac,
+                sharded_inertia(fac, eps_inertia),
+                sharded_pivots(fac),
+            )
+        if self.use_pallas:
+            from sleipnir_tpu.ops.pallas_banded import (  # noqa: PLC0415
+                pallas_banded_factor,
+                pallas_pivots,
+            )
+
+            fac = pallas_banded_factor(Ds, Es)
+            d = pallas_pivots(fac)
+            pos = jnp.sum(d > eps_inertia)
+            neg = jnp.sum(d < -eps_inertia)
+            zero = d.size - pos - neg
+            return fac, (pos, neg, zero), [d]
+        if self.use_inv:
+            fac = block_tridiag_factor_part_inv(Ds, Es)
+            return (
+                fac,
+                inv_part_inertia(fac, eps_inertia),
+                inv_part_pivots(fac),
+            )
+        if self.use_bcr:
+            fac = bcr_factor(Ds, Es)
+            return (
+                fac,
+                bcr_inertia(fac, eps_inertia, K),
+                [fac.final.d] + [lv.do for lv in fac.levels],
+            )
+        if self.use_partitioned:
+            fac = block_tridiag_factor_part(Ds, Es)
+            return fac, part_inertia(fac, eps_inertia), part_pivots(fac)
+        fac = block_tridiag_factor(Ds, Es)
+        return fac, block_tridiag_inertia(fac, eps_inertia), [fac.d]
+
+    def _inner_solve(self, fac, b):
+        """Solve the factored (equilibrated) staged system for b (K, w)."""
+        if self.mesh is not None:
+            from sleipnir_tpu.parallel.time_axis import (  # noqa: PLC0415
+                sharded_solve,
+            )
+
+            Kp = fac.n_dev * fac.L
+            pad = Kp - self.K
+            if pad:
+                b = jnp.concatenate(
+                    [b, jnp.zeros((pad, b.shape[1]), b.dtype)]
+                )
+            out = sharded_solve(self.mesh, self.mesh_axis, fac, b)
+            return out[: self.K]
+        if self.use_pallas:
+            from sleipnir_tpu.ops.pallas_banded import (  # noqa: PLC0415
+                pallas_banded_solve,
+            )
+
+            return pallas_banded_solve(fac, b)
+        if self.use_inv:
+            return block_tridiag_solve_part_inv(fac, b)
+        if self.use_bcr:
+            return bcr_solve(fac, b)
+        return block_tridiag_solve_part(fac, b)
+
     def factor(self, d: BandedDerivs, sigma, prev_delta, gamma_min):
         K, m, p, q, w = self.K, self.m, self.p, self.q, self.w
         eps = float(np.finfo(np.dtype(self.dtype)).eps)
@@ -604,12 +722,7 @@ class BandedBackend:
 
         nb = self.nb
         col0, e0 = self._assemble_border(d, sigma)
-        if self.use_inv:
-            inner_solve = block_tridiag_solve_part_inv
-        elif self.use_bcr:
-            inner_solve = bcr_solve
-        else:
-            inner_solve = block_tridiag_solve_part
+        inner_solve = self._inner_solve
         from jax import lax  # noqa: PLC0415
         from sleipnir_tpu.ops.ldlt import _ldlt_unblocked  # noqa: PLC0415
 
@@ -623,22 +736,9 @@ class BandedBackend:
             idx = jnp.arange(m, w)
             D = D.at[:, idx, idx].set(diag_vals)
             Ds, Es, s_eq = _equilibrate(D, E)
-            if self.use_inv:
-                fac = block_tridiag_factor_part_inv(Ds, Es)
-                pos, neg, zero = inv_part_inertia(fac, eps_inertia)
-                pivots = inv_part_pivots(fac)
-            elif self.use_bcr:
-                fac = bcr_factor(Ds, Es)
-                pos, neg, zero = bcr_inertia(fac, eps_inertia, K)
-                pivots = [fac.final.d] + [lv.do for lv in fac.levels]
-            elif self.use_partitioned:
-                fac = block_tridiag_factor_part(Ds, Es)
-                pos, neg, zero = part_inertia(fac, eps_inertia)
-                pivots = part_pivots(fac)
-            else:
-                fac = block_tridiag_factor(Ds, Es)
-                pos, neg, zero = block_tridiag_inertia(fac, eps_inertia)
-                pivots = [fac.d]
+            fac, (pos, neg, zero), pivots = self._inner_factor(
+                Ds, Es, eps_inertia
+            )
             small_any = jnp.asarray(False)
             finite = jnp.asarray(True)
             for pv in pivots:
@@ -731,13 +831,7 @@ class BandedBackend:
     def _bordered_solve(self, fac: BandedFactor, b, b_b):
         """Solve the full arrowhead system given the factor: returns
         (staged solution (K, w), border solution (nb,))."""
-        if self.use_inv:
-            inner_solve = block_tridiag_solve_part_inv
-        elif self.use_bcr:
-            inner_solve = bcr_solve
-        else:
-            inner_solve = block_tridiag_solve_part
-        u0 = fac.s * inner_solve(fac.fac, fac.s * b)
+        u0 = fac.s * self._inner_solve(fac.fac, fac.s * b)
         if self.nb == 0:
             return u0, b_b
         rhs_v = b_b - jnp.einsum("bkw,kw->b", fac.col, u0)

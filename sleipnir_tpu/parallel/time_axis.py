@@ -103,13 +103,16 @@ def _counted_pivots(fac) -> int:
     return total
 
 
-def sharded_factor(mesh: Mesh, axis: str, D, E_full) -> ShardedFactor:
+def sharded_factor(mesh: Mesh, axis: str, D, E_full, k_orig=None):
     """Factor a block-tridiagonal system with the stage axis sharded over
     `mesh[axis]`. D (K, w, w), E_full (K, w, w) with E_full[k] = A(k+1, k)
     (last entry zero); K must be a multiple of the mesh size (use
-    pad_to_devices)."""
+    pad_to_devices). `k_orig` is the UNPADDED block count (defaults to K)
+    so sharded_inertia can subtract the identity padding's +1 pivots."""
     n_dev = mesh.shape[axis]
     K, w, _ = D.shape
+    if k_orig is None:
+        k_orig = K
     assert K % n_dev == 0, (K, n_dev)
     L = K // n_dev
     Lint = L - 1
@@ -195,7 +198,7 @@ def sharded_factor(mesh: Mesh, axis: str, D, E_full) -> ShardedFactor:
         U0=U0,
         E_last=E_last,
         red=red,
-        K=K,
+        K=int(k_orig),
         n_dev=n_dev,
         L=L,
     )
