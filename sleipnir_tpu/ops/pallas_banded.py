@@ -47,6 +47,18 @@ def _f32(x):
     return x.astype(jnp.float32)
 
 
+
+def _perm_apply(P, M, w):
+    """Exact P @ M for a one-hot permutation P: w-step masked
+    accumulation on the VPU. The MXU's f32 matmul truncates through
+    bf16 passes at default precision (measured 5.5e-3 error on a
+    one-hot product on the v5e), which silently destroys the dd hi
+    parts, so permutations must NEVER go through jnp.dot here."""
+    out = jnp.zeros_like(M)
+    for j in range(w):
+        out = out + P[:, j:j + 1] * M[j:j + 1, :]
+    return out
+
 def _lu_factor_dd(Sh, Sl, w):
     """Swap-free pivoted LU of one (w, w) dd block.
 
@@ -66,7 +78,8 @@ def _lu_factor_dd(Sh, Sl, w):
         ckh = jnp.sum(Ah * ek_col, axis=1, keepdims=True)  # exact gather
         ckl = jnp.sum(Al * ek_col, axis=1, keepdims=True)
         score = jnp.abs(ckh) * active - (1.0 - active)
-        p = jnp.argmax(score[:, 0])
+        # int32 index dtype: Mosaic's argmax lowering requires it.
+        p = jax.lax.argmax(score[:, 0], 0, jnp.int32)
         op = (rows == p).astype(jnp.float32)  # (w, 1)
         pivot_h = jnp.sum(op * ckh)
         pivot_l = jnp.sum(op * ckl)
@@ -87,9 +100,9 @@ def _lu_factor_dd(Sh, Sl, w):
         Ul = Ul + ek_row * rowp_l
         P = P + ek_row * op[:, 0][None, :]
         active = active * (1.0 - op)
-    # L to step space: L' = P @ L (exact one-hot matmul), unit diagonal
-    Lh = jnp.dot(P, Lh, preferred_element_type=jnp.float32)
-    Ll = jnp.dot(P, Ll, preferred_element_type=jnp.float32)
+    # L to step space: L' = P @ L (exact one-hot application)
+    Lh = _perm_apply(P, Lh, w)
+    Ll = _perm_apply(P, Ll, w)
     eye = (
         jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
@@ -126,9 +139,9 @@ def _ldlt_pivots_dd(Sh, Sl, w):
 
 def _tri_solve_dd(Lh, Ll, Uh, Ul, P, bh, bl, w):
     """Solve (P⁻¹ L U) x = b for one block; b is (w, r) dd."""
-    # y = P b (exact)
-    yh = jnp.dot(P, bh, preferred_element_type=jnp.float32)
-    yl = jnp.dot(P, bl, preferred_element_type=jnp.float32)
+    # y = P b (exact one-hot application)
+    yh = _perm_apply(P, bh, w)
+    yl = _perm_apply(P, bl, w)
     rows = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
     # forward substitution, column-oriented: y[j+1:] -= L[:, j] * y[j]
@@ -219,7 +232,7 @@ def _factor_kernel(w, K, Dh_ref, Dl_ref, Eh_ref, El_ref,
         # X = S⁻¹ Eₖᵀ ; S_next = D_{k+1} − Eₖ X. The coupling work is
         # computed unconditionally (the k = K-1 result is discarded by
         # the select below) so only the ref WRITE is predicated.
-        kk = jnp.minimum(k, K - 2)
+        kk = jnp.minimum(k, np.int32(K - 2))
         Eh = Eh_ref[kk]
         El = El_ref[kk]
         Xh, Xl = _tri_solve_dd(Lh, Ll, Uh, Ul, P, Eh.T, El.T, w)
@@ -230,14 +243,16 @@ def _factor_kernel(w, K, Dh_ref, Dl_ref, Eh_ref, El_ref,
             Xl_ref[kk] = Xl
 
         Th, Tl = _matmul_dd(Eh, El, Xh, Xl, w)
-        k1 = jnp.minimum(k + 1, K - 1)
+        k1 = jnp.minimum(k + 1, np.int32(K - 1))
         Sh_next, Sl_next = dd.sub2(Dh_ref[k1], Dl_ref[k1], Th, Tl)
         last = k >= K - 1
         Sh_next = jnp.where(last, Sh, Sh_next)
         Sl_next = jnp.where(last, Sl, Sl_next)
         return Sh_next, Sl_next
 
-    jax.lax.fori_loop(0, K, stage, (Dh_ref[0], Dl_ref[0]))
+    jax.lax.fori_loop(
+        np.int32(0), np.int32(K), stage, (Dh_ref[0], Dl_ref[0])
+    )
 
 
 def _matvec_T_dd(Mh, Ml, vh, vl, w, transpose):
@@ -270,17 +285,18 @@ def _solve_kernel(w, K, Lh_ref, Ll_ref, Uh_ref, Ul_ref, P_ref,
         yh, yl = carry  # (w, 1) current y_k
         xh_ref[k] = yh[:, 0]
         xl_ref[k] = yl[:, 0]
-        kk = jnp.minimum(k, K - 2)
+        kk = jnp.minimum(k, np.int32(K - 2))
         acch, accl = _matvec_T_dd(
             Xh_ref[kk], Xl_ref[kk], yh, yl, w, transpose=True
         )
-        k1 = jnp.minimum(k + 1, K - 1)
+        k1 = jnp.minimum(k + 1, np.int32(K - 1))
         bh1 = bh_ref[k1][:, None]
         bl1 = bl_ref[k1][:, None]
         return dd.sub2(bh1, bl1, acch, accl)
 
     jax.lax.fori_loop(
-        0, K, fwd, (bh_ref[0][:, None], bl_ref[0][:, None])
+        np.int32(0), np.int32(K), fwd,
+        (bh_ref[0][:, None], bl_ref[0][:, None]),
     )
 
     # Top stage: x_{K-1} = S_{K-1}⁻¹ y_{K-1}
@@ -296,7 +312,7 @@ def _solve_kernel(w, K, Lh_ref, Ll_ref, Uh_ref, Ul_ref, P_ref,
     # Backward: x_k = S_k⁻¹ y_k − (S_k⁻¹ E_kᵀ) x_{k+1} = z_k − X_k x_{k+1}
     def bwd(i, carry):
         xh_next, xl_next = carry  # (w, 1) solution at stage k+1
-        k = K - 2 - i
+        k = np.int32(K - 2) - i
         yh = xh_ref[k][:, None]
         yl = xl_ref[k][:, None]
         zh, zl = _tri_solve_dd(
@@ -311,7 +327,7 @@ def _solve_kernel(w, K, Lh_ref, Ll_ref, Uh_ref, Ul_ref, P_ref,
         xl_ref[k] = xkl[:, 0]
         return xkh, xkl
 
-    jax.lax.fori_loop(0, K - 1, bwd, (zh, zl))
+    jax.lax.fori_loop(np.int32(0), np.int32(K - 1), bwd, (zh, zl))
 
 
 def _interpret() -> bool:
@@ -347,15 +363,19 @@ def pallas_banded_factor(D, E):
         jax.ShapeDtypeStruct((max(K - 1, 1), w, w), jnp.float32),  # Xh
         jax.ShapeDtypeStruct((max(K - 1, 1), w, w), jnp.float32),  # Xl
     )
-    spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kern = functools.partial(_factor_kernel, w, K)
-    outs = pl.pallas_call(
-        kern,
-        out_shape=out_shapes,
-        in_specs=[spec] * 4,
-        out_specs=(spec,) * 9,
-        interpret=_interpret(),
-    )(Dh, Dl, Eh, El)
+    # Trace the kernel with x64 disabled: the kernel body is pure
+    # f32/i32, and under jax_enable_x64 stray weak-int64 constants send
+    # Mosaic's int conversion helper into infinite recursion.
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kern,
+            out_shape=out_shapes,
+            in_specs=[spec] * 4,
+            out_specs=(spec,) * 9,
+            interpret=_interpret(),
+        )(Dh, Dl, Eh, El)
     return PallasBandedFactor(*outs)
 
 
@@ -367,18 +387,19 @@ def pallas_banded_solve(fac: PallasBandedFactor, b):
 
     K, w = b.shape
     bh, bl = dd.from_f64(b)
-    spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kern = functools.partial(_solve_kernel, w, K)
-    xh, xl = pl.pallas_call(
-        kern,
-        out_shape=(
-            jax.ShapeDtypeStruct((K, w), jnp.float32),
-            jax.ShapeDtypeStruct((K, w), jnp.float32),
-        ),
-        in_specs=[spec] * 9,
-        out_specs=(spec, spec),
-        interpret=_interpret(),
-    )(fac.Lh, fac.Ll, fac.Uh, fac.Ul, fac.P, fac.Xh, fac.Xl, bh, bl)
+    with jax.enable_x64(False):
+        xh, xl = pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((K, w), jnp.float32),
+                jax.ShapeDtypeStruct((K, w), jnp.float32),
+            ),
+            in_specs=[spec] * 9,
+            out_specs=(spec, spec),
+            interpret=_interpret(),
+        )(fac.Lh, fac.Ll, fac.Uh, fac.Ul, fac.P, fac.Xh, fac.Xl, bh, bl)
     return dd.to_f64(xh, xl)
 
 

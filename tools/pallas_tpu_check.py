@@ -8,6 +8,8 @@ import os
 import sys
 import time
 
+sys.setrecursionlimit(100000)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
