@@ -48,28 +48,39 @@ def _f32(x):
 
 
 
-def _perm_apply(P, M, w):
-    """Exact P @ M for a one-hot permutation P: w-step masked
-    accumulation on the VPU. The MXU's f32 matmul truncates through
-    bf16 passes at default precision (measured 5.5e-3 error on a
-    one-hot product on the v5e), which silently destroys the dd hi
-    parts, so permutations must NEVER go through jnp.dot here."""
+def _perm_apply_idx(perm, M, w):
+    """Exact (P @ M)[i] = M[perm[i]] from the (1, w) i32 permutation
+    vector: w-step masked accumulation on the VPU. (The MXU's f32 matmul
+    truncates through bf16 passes at default precision — measured 5.5e-3
+    error on a one-hot product on the v5e — so permutations must NEVER
+    go through jnp.dot, and a one-hot matrix would cost a full (K, w, w)
+    f32 array of VMEM; the index vector costs (K, w) i32.)"""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M.shape[0], 1), 0)
     out = jnp.zeros_like(M)
-    for j in range(w):
-        out = out + P[:, j:j + 1] * M[j:j + 1, :]
+    for k in range(w):
+        pk = perm[0, k]  # static column index -> i32 scalar
+        src_row = jnp.sum(
+            M * (rows == pk).astype(jnp.float32), axis=0, keepdims=True
+        )
+        out = out + (rows == k).astype(jnp.float32) * src_row
     return out
 
 def _lu_factor_dd(Sh, Sl, w):
     """Swap-free pivoted LU of one (w, w) dd block.
 
-    Returns (Lh, Ll, Uh, Ul, P) with P A = L U (P a one-hot (w, w)
-    permutation matrix, L unit-lower in step space, U upper)."""
+    Returns (LUh, LUl, perm) with (PA) = LU, where perm is the (1, w)
+    i32 row-permutation vector ((PA)[i] = A[perm[i]]) and LU packs the
+    strict lower unit-L multipliers with the upper factor (LAPACK
+    convention) — halving the factor storage, which is the VMEM
+    bottleneck for long horizons (small trailing dims pad to 128
+    lanes)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
     Lh = jnp.zeros((w, w), jnp.float32)
     Ll = jnp.zeros((w, w), jnp.float32)
     Uh = jnp.zeros((w, w), jnp.float32)
     Ul = jnp.zeros((w, w), jnp.float32)
-    P = jnp.zeros((w, w), jnp.float32)
+    perm = jnp.zeros((1, w), jnp.int32)
+    pcols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
     active = jnp.ones((w, 1), jnp.float32)
     Ah, Al = Sh, Sl
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
@@ -98,17 +109,14 @@ def _lu_factor_dd(Sh, Sl, w):
         Ll = Ll + fl * ek_col
         Uh = Uh + ek_row * rowp_h
         Ul = Ul + ek_row * rowp_l
-        P = P + ek_row * op[:, 0][None, :]
+        perm = perm + p * (pcols == k).astype(jnp.int32)
         active = active * (1.0 - op)
-    # L to step space: L' = P @ L (exact one-hot application)
-    Lh = _perm_apply(P, Lh, w)
-    Ll = _perm_apply(P, Ll, w)
-    eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
-    ).astype(jnp.float32)
-    Lh = Lh + eye
-    return Lh, Ll, Uh, Ul, P
+    # L to step space (L' = P @ L) and pack: LU = tril(L', -1) + triu(U)
+    Lh = _perm_apply_idx(perm, Lh, w)
+    Ll = _perm_apply_idx(perm, Ll, w)
+    LUh = jnp.tril(Lh, -1) + jnp.triu(Uh)
+    LUl = jnp.tril(Ll, -1) + jnp.triu(Ul)
+    return LUh, LUl, perm
 
 
 def _ldlt_pivots_dd(Sh, Sl, w):
@@ -137,13 +145,19 @@ def _ldlt_pivots_dd(Sh, Sl, w):
     return dh, dl
 
 
-def _tri_solve_dd(Lh, Ll, Uh, Ul, P, bh, bl, w):
-    """Solve (P⁻¹ L U) x = b for one block; b is (w, r) dd."""
-    # y = P b (exact one-hot application)
-    yh = _perm_apply(P, bh, w)
-    yl = _perm_apply(P, bl, w)
+def _tri_solve_dd(LUh, LUl, perm, bh, bl, w):
+    """Solve (P⁻¹ L U) x = b for one block; b is (w, r) dd; LU packed."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    lower = (rows > cols).astype(jnp.float32)
+    upper = (rows <= cols).astype(jnp.float32)
+    Lh = LUh * lower
+    Ll = LUl * lower
+    Uh = LUh * upper
+    Ul = LUl * upper
+    # y = P b (exact index-based application)
+    yh = _perm_apply_idx(perm, bh, w)
+    yl = _perm_apply_idx(perm, bl, w)
     # forward substitution, column-oriented: y[j+1:] -= L[:, j] * y[j]
     for j in range(w - 1):
         ej = (cols == j).astype(jnp.float32)
@@ -200,13 +214,16 @@ def _matmul_dd(Ah, Al, Bh, Bl, w):
 
 
 class PallasBandedFactor(NamedTuple):
-    """Factor produced by pallas_banded_factor (all leaves f32 pairs)."""
+    """Factor produced by pallas_banded_factor.
 
-    Lh: jnp.ndarray  # (K, w, w) unit-lower (step space)
-    Ll: jnp.ndarray
-    Uh: jnp.ndarray  # (K, w, w) upper
-    Ul: jnp.ndarray
-    P: jnp.ndarray  # (K, w, w) one-hot row permutations
+    LU is LAPACK-packed (strict-lower unit-L + upper U) and the row
+    permutations are index vectors; the LU/X arrays alias the kernel's
+    D/E inputs (input_output_aliases), so a factorization's live VMEM is
+    four (K, w, w) f32 arrays total."""
+
+    LUh: jnp.ndarray  # (K, w, w) packed LU per Schur block
+    LUl: jnp.ndarray
+    perm: jnp.ndarray  # (K, w) i32 row permutations
     dh: jnp.ndarray  # (K, w) LDLT pivots of the Schur chain (inertia)
     dl: jnp.ndarray
     Xh: jnp.ndarray  # (K-1, w, w) X_k = S_k⁻¹ E_kᵀ
@@ -214,28 +231,35 @@ class PallasBandedFactor(NamedTuple):
 
 
 def _factor_kernel(w, K, Dh_ref, Dl_ref, Eh_ref, El_ref,
-                   Lh_ref, Ll_ref, Uh_ref, Ul_ref, P_ref,
-                   dh_ref, dl_ref, Xh_ref, Xl_ref):
+                   LUh_ref, LUl_ref, Xh_ref, Xl_ref, perm_ref,
+                   dh_ref, dl_ref):
     from jax.experimental import pallas as pl  # noqa: PLC0415
 
+    # ALIASING ORDER CONTRACT: LUh/LUl alias Dh/Dl and Xh/Xl alias Eh/El
+    # (input_output_aliases). Stage k reads D[k+1] and E[k] BEFORE
+    # writing LU[k] and X[k], and never reads D[<=k] or E[<k] again.
     def stage(k, carry):
         Sh, Sl = carry
+        # Read next-stage inputs FIRST (they share storage with this
+        # stage's outputs).
+        kk = jnp.minimum(k, np.int32(K - 2))
+        k1 = jnp.minimum(k + 1, np.int32(K - 1))
+        Eh = Eh_ref[kk]
+        El = El_ref[kk]
+        Dh1 = Dh_ref[k1]
+        Dl1 = Dl_ref[k1]
+
         dh, dl = _ldlt_pivots_dd(Sh, Sl, w)
         dh_ref[k] = dh[0]
         dl_ref[k] = dl[0]
-        Lh, Ll, Uh, Ul, P = _lu_factor_dd(Sh, Sl, w)
-        Lh_ref[k] = Lh
-        Ll_ref[k] = Ll
-        Uh_ref[k] = Uh
-        Ul_ref[k] = Ul
-        P_ref[k] = P
+        LUh, LUl, perm = _lu_factor_dd(Sh, Sl, w)
+        LUh_ref[k] = LUh
+        LUl_ref[k] = LUl
+        perm_ref[k] = perm[0]
         # X = S⁻¹ Eₖᵀ ; S_next = D_{k+1} − Eₖ X. The coupling work is
         # computed unconditionally (the k = K-1 result is discarded by
         # the select below) so only the ref WRITE is predicated.
-        kk = jnp.minimum(k, np.int32(K - 2))
-        Eh = Eh_ref[kk]
-        El = El_ref[kk]
-        Xh, Xl = _tri_solve_dd(Lh, Ll, Uh, Ul, P, Eh.T, El.T, w)
+        Xh, Xl = _tri_solve_dd(LUh, LUl, perm, Eh.T, El.T, w)
 
         @pl.when(k < K - 1)
         def _():
@@ -243,8 +267,7 @@ def _factor_kernel(w, K, Dh_ref, Dl_ref, Eh_ref, El_ref,
             Xl_ref[kk] = Xl
 
         Th, Tl = _matmul_dd(Eh, El, Xh, Xl, w)
-        k1 = jnp.minimum(k + 1, np.int32(K - 1))
-        Sh_next, Sl_next = dd.sub2(Dh_ref[k1], Dl_ref[k1], Th, Tl)
+        Sh_next, Sl_next = dd.sub2(Dh1, Dl1, Th, Tl)
         last = k >= K - 1
         Sh_next = jnp.where(last, Sh, Sh_next)
         Sl_next = jnp.where(last, Sl, Sl_next)
@@ -276,8 +299,8 @@ def _matvec_T_dd(Mh, Ml, vh, vl, w, transpose):
     return acch, accl
 
 
-def _solve_kernel(w, K, Lh_ref, Ll_ref, Uh_ref, Ul_ref, P_ref,
-                  Xh_ref, Xl_ref, bh_ref, bl_ref, xh_ref, xl_ref):
+def _solve_kernel(w, K, LUh_ref, LUl_ref, Xh_ref, Xl_ref, perm_ref,
+                  bh_ref, bl_ref, xh_ref, xl_ref):
     # Forward: y_{k+1} = b_{k+1} − W_k y_k with W_k = X_kᵀ; y_k is stored
     # into the output refs (reused as scratch) at each step, including
     # the final y_{K-1}.
@@ -303,8 +326,8 @@ def _solve_kernel(w, K, Lh_ref, Ll_ref, Uh_ref, Ul_ref, P_ref,
     yh = xh_ref[K - 1][:, None]
     yl = xl_ref[K - 1][:, None]
     zh, zl = _tri_solve_dd(
-        Lh_ref[K - 1], Ll_ref[K - 1], Uh_ref[K - 1], Ul_ref[K - 1],
-        P_ref[K - 1], yh, yl, w,
+        LUh_ref[K - 1], LUl_ref[K - 1], perm_ref[K - 1][None, :],
+        yh, yl, w,
     )
     xh_ref[K - 1] = zh[:, 0]
     xl_ref[K - 1] = zl[:, 0]
@@ -316,8 +339,7 @@ def _solve_kernel(w, K, Lh_ref, Ll_ref, Uh_ref, Ul_ref, P_ref,
         yh = xh_ref[k][:, None]
         yl = xl_ref[k][:, None]
         zh, zl = _tri_solve_dd(
-            Lh_ref[k], Ll_ref[k], Uh_ref[k], Ul_ref[k], P_ref[k],
-            yh, yl, w,
+            LUh_ref[k], LUl_ref[k], perm_ref[k][None, :], yh, yl, w,
         )
         acch, accl = _matvec_T_dd(
             Xh_ref[k], Xl_ref[k], xh_next, xl_next, w, transpose=False
@@ -352,16 +374,25 @@ def pallas_banded_factor(D, E):
         Eh = jnp.zeros((1, w, w), jnp.float32)
         El = jnp.zeros((1, w, w), jnp.float32)
 
+    KE = max(K - 1, 1)
+    # Pad E so its leading dim matches D's: required for the D->LU /
+    # E->X input_output_aliases below (aliased pairs must have
+    # identical shapes), and the kernel ignores the pad row.
+    if Eh.shape[0] != K:
+        Eh = jnp.concatenate(
+            [Eh, jnp.zeros((K - Eh.shape[0], w, w), jnp.float32)]
+        )
+        El = jnp.concatenate(
+            [El, jnp.zeros((K - El.shape[0], w, w), jnp.float32)]
+        )
     out_shapes = (
-        jax.ShapeDtypeStruct((K, w, w), jnp.float32),  # Lh
-        jax.ShapeDtypeStruct((K, w, w), jnp.float32),  # Ll
-        jax.ShapeDtypeStruct((K, w, w), jnp.float32),  # Uh
-        jax.ShapeDtypeStruct((K, w, w), jnp.float32),  # Ul
-        jax.ShapeDtypeStruct((K, w, w), jnp.float32),  # P
+        jax.ShapeDtypeStruct((K, w, w), jnp.float32),  # LUh (aliases Dh)
+        jax.ShapeDtypeStruct((K, w, w), jnp.float32),  # LUl (aliases Dl)
+        jax.ShapeDtypeStruct((K, w, w), jnp.float32),  # Xh (aliases Eh)
+        jax.ShapeDtypeStruct((K, w, w), jnp.float32),  # Xl (aliases El)
+        jax.ShapeDtypeStruct((K, w), jnp.int32),  # perm
         jax.ShapeDtypeStruct((K, w), jnp.float32),  # dh
         jax.ShapeDtypeStruct((K, w), jnp.float32),  # dl
-        jax.ShapeDtypeStruct((max(K - 1, 1), w, w), jnp.float32),  # Xh
-        jax.ShapeDtypeStruct((max(K - 1, 1), w, w), jnp.float32),  # Xl
     )
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kern = functools.partial(_factor_kernel, w, K)
@@ -373,10 +404,15 @@ def pallas_banded_factor(D, E):
             kern,
             out_shape=out_shapes,
             in_specs=[spec] * 4,
-            out_specs=(spec,) * 9,
+            out_specs=(spec,) * 7,
+            input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
             interpret=_interpret(),
         )(Dh, Dl, Eh, El)
-    return PallasBandedFactor(*outs)
+    LUh, LUl, Xh, Xl, perm, dh, dl = outs
+    return PallasBandedFactor(
+        LUh=LUh, LUl=LUl, perm=perm, dh=dh, dl=dl,
+        Xh=Xh[: KE], Xl=Xl[: KE],
+    )
 
 
 @jax.jit
@@ -396,10 +432,14 @@ def pallas_banded_solve(fac: PallasBandedFactor, b):
                 jax.ShapeDtypeStruct((K, w), jnp.float32),
                 jax.ShapeDtypeStruct((K, w), jnp.float32),
             ),
-            in_specs=[spec] * 9,
+            in_specs=[spec] * 7,
             out_specs=(spec, spec),
+            # b is consumed stage-by-stage ahead of the x writes
+            input_output_aliases={5: 0, 6: 1},
             interpret=_interpret(),
-        )(fac.Lh, fac.Ll, fac.Uh, fac.Ul, fac.P, fac.Xh, fac.Xl, bh, bl)
+        )(
+            fac.LUh, fac.LUl, fac.Xh, fac.Xl, fac.perm, bh, bl
+        )
     return dd.to_f64(xh, xl)
 
 

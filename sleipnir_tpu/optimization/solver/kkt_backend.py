@@ -72,6 +72,7 @@ def regularization_loop(
     prev_delta,
     gamma_min: float,
     dtype,
+    max_ladder: int | None = None,
 ) -> RegLoopResult:
     """Shared inertia-correction escalation
     (reference sparse_regularized_ldlt.hpp:64-151), restructured as a
@@ -101,6 +102,8 @@ def regularization_loop(
 
     # ---- batched candidate ladder ------------------------------------
     ladder = _ladder_depth(dtype)
+    if max_ladder is not None:
+        ladder = max(1, min(ladder, max_ladder))
     deltas = jnp.concatenate(
         [
             jnp.zeros((1,), dtype),

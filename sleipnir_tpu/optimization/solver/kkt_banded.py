@@ -610,6 +610,18 @@ class BandedBackend:
             E = E.at[:, :m, m:].set(jnp.swapaxes(d.Anext[:-1], 1, 2))
         return D, E
 
+    def _max_ladder(self) -> int | None:
+        """VMEM-aware cap on the regularization ladder depth for the
+        Pallas path: a factorization's live footprint is ~4 (K, w, w)
+        f32 arrays whose trailing dim pads to 128 lanes (tile rows merge
+        K·w along sublanes), and the vmapped ladder multiplies that by
+        the candidate count. ~128 MB VMEM on the v5e; budget 90 MB."""
+        if not self.use_pallas:
+            return None
+        tile_rows = -(-(self.K * self.w) // 8)
+        per_candidate = 4 * tile_rows * 8 * 128 * 4
+        return max(1, int(90e6 // max(per_candidate, 1)))
+
     def _inner_factor(self, Ds, Es, eps_inertia):
         """Factor the equilibrated staged system with the selected
         factorization; returns (fac, (pos, neg, zero), pivots)."""
@@ -787,7 +799,7 @@ class BandedBackend:
         ideal_neg = K * p
         out: RegLoopResult = regularization_loop(
             factor_with, ideal_pos, ideal_neg, prev_delta, gamma_min,
-            self.dtype,
+            self.dtype, max_ladder=self._max_ladder(),
         )
         inner, s_eq, X, Lb, db = out.fac
         return BandedFactor(

@@ -11,7 +11,6 @@ import jax.numpy as jnp
 from sleipnir_tpu.ops import dd
 from sleipnir_tpu.ops import pallas_banded as pb
 
-pytestmark = pytest.mark.fast
 
 
 def _dense(D, E):

@@ -14,7 +14,6 @@ import jax.numpy as jnp
 
 from sleipnir_tpu.ops import block_tridiag as bt
 
-pytestmark = pytest.mark.fast
 
 
 def _dense(D, E):
