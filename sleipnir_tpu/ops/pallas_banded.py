@@ -385,6 +385,8 @@ def pallas_banded_factor(D, E):
         El = jnp.concatenate(
             [El, jnp.zeros((K - El.shape[0], w, w), jnp.float32)]
         )
+    if pallas_is_chunked(K, w):
+        return _pallas_factor_chunked(Dh, Dl, Eh, El, K, w)
     out_shapes = (
         jax.ShapeDtypeStruct((K, w, w), jnp.float32),  # LUh (aliases Dh)
         jax.ShapeDtypeStruct((K, w, w), jnp.float32),  # LUl (aliases Dl)
@@ -423,6 +425,8 @@ def pallas_banded_solve(fac: PallasBandedFactor, b):
 
     K, w = b.shape
     bh, bl = dd.from_f64(b)
+    if pallas_is_chunked(K, w):
+        return _pallas_solve_chunked(fac, bh, bl, K, w)
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kern = functools.partial(_solve_kernel, w, K)
     with jax.enable_x64(False):
@@ -446,3 +450,280 @@ def pallas_banded_solve(fac: PallasBandedFactor, b):
 def pallas_pivots(fac: PallasBandedFactor):
     """LDLT pivots of the Schur chain, recombined to f64."""
     return dd.to_f64(fac.dh, fac.dl)
+
+
+# ---------------------------------------------------------------------------
+# Chunked-grid variants: horizons whose factor arrays exceed VMEM
+# ---------------------------------------------------------------------------
+#
+# TPU grid steps execute sequentially on a core and scratch persists
+# across them, so the Schur recursion's carry (and the solve's running
+# y/x vectors) cross chunk boundaries through (w, w)/(w, 1) scratch while
+# Pallas streams the (chunk, w, w) blocks HBM<->VMEM per grid step. The
+# cross-chunk D[k+1] read is avoided by carrying T_k = E_k X_k instead
+# of S_{k+1}: each chunk opens with S = D_loc[0] - T_scratch.
+
+#: Per-array VMEM budget for the single-shot kernels; beyond this the
+#: chunked-grid variants take over. The binding constraint on the v5e is
+#: the ~16 MB SCOPED vmem limit for a kernel's operands (measured:
+#: a vmapped 2-candidate K=5001 w=4 call was rejected at 78 MB scoped),
+#: so a single-shot factorization's four arrays must stay well under it.
+_SINGLE_SHOT_MAX_BYTES = 3_500_000
+
+#: Stages per chunk in the chunked-grid kernels.
+_CHUNK = 512
+
+
+def pallas_is_chunked(K: int, w: int) -> bool:
+    tile_rows = -(-(K * w) // 8)
+    return tile_rows * 8 * 128 * 4 > _SINGLE_SHOT_MAX_BYTES
+
+
+def _factor_kernel_chunked(w, C, nc, Dh_ref, Dl_ref, Eh_ref, El_ref,
+                           LUh_ref, LUl_ref, Xh_ref, Xl_ref, perm_ref,
+                           dh_ref, dl_ref, Th_s, Tl_s):
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        Th_s[:] = jnp.zeros((w, w), jnp.float32)
+        Tl_s[:] = jnp.zeros((w, w), jnp.float32)
+
+    Sh0, Sl0 = dd.sub2(Dh_ref[0], Dl_ref[0], Th_s[:], Tl_s[:])
+
+    def stage(j, carry):
+        Sh, Sl = carry
+        j1 = jnp.minimum(j + 1, np.int32(C - 1))
+        Eh = Eh_ref[j]
+        El = El_ref[j]
+        Dh1 = Dh_ref[j1]
+        Dl1 = Dl_ref[j1]
+
+        dh, dl = _ldlt_pivots_dd(Sh, Sl, w)
+        dh_ref[j] = dh[0]
+        dl_ref[j] = dl[0]
+        LUh, LUl, perm = _lu_factor_dd(Sh, Sl, w)
+        LUh_ref[j] = LUh
+        LUl_ref[j] = LUl
+        perm_ref[j] = perm[0]
+        Xh, Xl = _tri_solve_dd(LUh, LUl, perm, Eh.T, El.T, w)
+        Xh_ref[j] = Xh
+        Xl_ref[j] = Xl
+        Th, Tl = _matmul_dd(Eh, El, Xh, Xl, w)
+
+        @pl.when(j >= C - 1)
+        def _():
+            Th_s[:] = Th
+            Tl_s[:] = Tl
+
+        Sh_next, Sl_next = dd.sub2(Dh1, Dl1, Th, Tl)
+        keep = j >= C - 1
+        Sh_next = jnp.where(keep, Sh, Sh_next)
+        Sl_next = jnp.where(keep, Sl, Sl_next)
+        return Sh_next, Sl_next
+
+    jax.lax.fori_loop(np.int32(0), np.int32(C), stage, (Sh0, Sl0))
+
+
+def _solve_fwd_kernel_chunked(w, C, nc, Xh_ref, Xl_ref, bh_ref, bl_ref,
+                              yh_ref, yl_ref, ch_s, cl_s):
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ch_s[:] = jnp.zeros((w, 1), jnp.float32)
+        cl_s[:] = jnp.zeros((w, 1), jnp.float32)
+
+    def fwd(j, carry):
+        yh, yl = carry  # y at global stage iC+j
+        yh_ref[j] = yh[:, 0]
+        yl_ref[j] = yl[:, 0]
+        th, tl = _matvec_T_dd(
+            Xh_ref[j], Xl_ref[j], yh, yl, w, transpose=True
+        )
+        j1 = jnp.minimum(j + 1, np.int32(C - 1))
+        bh1 = bh_ref[j1][:, None]
+        bl1 = bl_ref[j1][:, None]
+        yh_next, yl_next = dd.sub2(bh1, bl1, th, tl)
+
+        @pl.when(j >= C - 1)
+        def _():
+            # carry -t for the next chunk: y = b_loc[0] - t
+            ch_s[:] = th
+            cl_s[:] = tl
+
+        return yh_next, yl_next
+
+    y0h, y0l = dd.sub2(
+        bh_ref[0][:, None], bl_ref[0][:, None], ch_s[:], cl_s[:]
+    )
+    jax.lax.fori_loop(np.int32(0), np.int32(C), fwd, (y0h, y0l))
+
+
+def _solve_bwd_kernel_chunked(w, C, nc, LUh_ref, LUl_ref, Xh_ref, Xl_ref,
+                              perm_ref, yh_ref, yl_ref, xh_ref, xl_ref,
+                              ch_s, cl_s):
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    i = pl.program_id(0)  # 0 = LAST chunk (reversed index_map)
+
+    @pl.when(i == 0)
+    def _():
+        # x_{K} carry is irrelevant for the top stage because the padded
+        # E row makes X[K-1] = 0; zeros keep it well-defined.
+        ch_s[:] = jnp.zeros((w, 1), jnp.float32)
+        cl_s[:] = jnp.zeros((w, 1), jnp.float32)
+
+    def bwd(jj, carry):
+        xh_next, xl_next = carry  # x at global stage iC+j+1
+        j = np.int32(C - 1) - jj
+        yh = yh_ref[j][:, None]
+        yl = yl_ref[j][:, None]
+        zh, zl = _tri_solve_dd(
+            LUh_ref[j], LUl_ref[j], perm_ref[j][None, :], yh, yl, w
+        )
+        th, tl = _matvec_T_dd(
+            Xh_ref[j], Xl_ref[j], xh_next, xl_next, w, transpose=False
+        )
+        xkh, xkl = dd.sub2(zh, zl, th, tl)
+        xh_ref[j] = xkh[:, 0]
+        xl_ref[j] = xkl[:, 0]
+        return xkh, xkl
+
+    xlast_h, xlast_l = jax.lax.fori_loop(
+        np.int32(0), np.int32(C), bwd, (ch_s[:], cl_s[:])
+    )
+    ch_s[:] = xlast_h
+    cl_s[:] = xlast_l
+
+
+def _pad_stages(Dh, Dl, Eh, El, K, w, Kp):
+    pad = Kp - K
+    if pad == 0:
+        return Dh, Dl, Eh, El
+    eye = jnp.broadcast_to(jnp.eye(w, dtype=jnp.float32), (pad, w, w))
+    z = jnp.zeros((pad, w, w), jnp.float32)
+    Dh = jnp.concatenate([Dh, eye])
+    Dl = jnp.concatenate([Dl, z])
+    # E[K-1] (the coupling INTO the first padded stage) must be zero so
+    # the padding decouples; callers already pass E_full[K-1] = 0.
+    Eh = jnp.concatenate([Eh, z])
+    El = jnp.concatenate([El, z])
+    return Dh, Dl, Eh, El
+
+
+def _pallas_factor_chunked(Dh, Dl, Eh, El, K, w):
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+    from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
+
+    C = _CHUNK
+    nc = -(-K // C)
+    Kp = nc * C
+    Dh, Dl, Eh, El = _pad_stages(Dh, Dl, Eh, El, K, w, Kp)
+
+    blk = lambda: pl.BlockSpec(  # noqa: E731
+        (C, w, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    vec = lambda: pl.BlockSpec(  # noqa: E731
+        (C, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((Kp, w, w), jnp.float32),  # LUh (aliases Dh)
+        jax.ShapeDtypeStruct((Kp, w, w), jnp.float32),  # LUl (aliases Dl)
+        jax.ShapeDtypeStruct((Kp, w, w), jnp.float32),  # Xh (aliases Eh)
+        jax.ShapeDtypeStruct((Kp, w, w), jnp.float32),  # Xl (aliases El)
+        jax.ShapeDtypeStruct((Kp, w), jnp.int32),
+        jax.ShapeDtypeStruct((Kp, w), jnp.float32),
+        jax.ShapeDtypeStruct((Kp, w), jnp.float32),
+    )
+    kern = functools.partial(_factor_kernel_chunked, w, C, nc)
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kern,
+            grid=(nc,),
+            out_shape=out_shapes,
+            in_specs=[blk(), blk(), blk(), blk()],
+            out_specs=(blk(), blk(), blk(), blk(), vec(), vec(), vec()),
+            scratch_shapes=[
+                pltpu.VMEM((w, w), jnp.float32),
+                pltpu.VMEM((w, w), jnp.float32),
+            ],
+            input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+            interpret=_interpret(),
+        )(Dh, Dl, Eh, El)
+    LUh, LUl, Xh, Xl, perm, dh, dl = outs
+    # Pivots report only the REAL stages (identity padding would add a
+    # spurious +w each); LU/X stay padded for the chunked solve.
+    return PallasBandedFactor(
+        LUh=LUh, LUl=LUl, perm=perm, dh=dh[:K], dl=dl[:K], Xh=Xh, Xl=Xl
+    )
+
+
+def _pallas_solve_chunked(fac: PallasBandedFactor, bh, bl, K, w):
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+    from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
+
+    C = _CHUNK
+    Kp = fac.LUh.shape[0]
+    nc = Kp // C
+    pad = Kp - K
+    if pad:
+        bh = jnp.concatenate([bh, jnp.zeros((pad, w), jnp.float32)])
+        bl = jnp.concatenate([bl, jnp.zeros((pad, w), jnp.float32)])
+
+    blk_f = lambda: pl.BlockSpec(  # noqa: E731
+        (C, w, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    vec_f = lambda: pl.BlockSpec(  # noqa: E731
+        (C, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    blk_r = lambda: pl.BlockSpec(  # noqa: E731
+        (C, w, w), lambda i: (nc - 1 - i, 0, 0), memory_space=pltpu.VMEM
+    )
+    vec_r = lambda: pl.BlockSpec(  # noqa: E731
+        (C, w), lambda i: (nc - 1 - i, 0), memory_space=pltpu.VMEM
+    )
+
+    with jax.enable_x64(False):
+        yh, yl = pl.pallas_call(
+            functools.partial(_solve_fwd_kernel_chunked, w, C, nc),
+            grid=(nc,),
+            out_shape=(
+                jax.ShapeDtypeStruct((Kp, w), jnp.float32),
+                jax.ShapeDtypeStruct((Kp, w), jnp.float32),
+            ),
+            in_specs=[blk_f(), blk_f(), vec_f(), vec_f()],
+            out_specs=(vec_f(), vec_f()),
+            scratch_shapes=[
+                pltpu.VMEM((w, 1), jnp.float32),
+                pltpu.VMEM((w, 1), jnp.float32),
+            ],
+            input_output_aliases={2: 0, 3: 1},
+            interpret=_interpret(),
+        )(fac.Xh, fac.Xl, bh, bl)
+        xh, xl = pl.pallas_call(
+            functools.partial(_solve_bwd_kernel_chunked, w, C, nc),
+            grid=(nc,),
+            out_shape=(
+                jax.ShapeDtypeStruct((Kp, w), jnp.float32),
+                jax.ShapeDtypeStruct((Kp, w), jnp.float32),
+            ),
+            in_specs=[
+                blk_r(), blk_r(), blk_r(), blk_r(), vec_r(), vec_r(),
+                vec_r(),
+            ],
+            out_specs=(vec_r(), vec_r()),
+            scratch_shapes=[
+                pltpu.VMEM((w, 1), jnp.float32),
+                pltpu.VMEM((w, 1), jnp.float32),
+            ],
+            input_output_aliases={5: 0, 6: 1},
+            interpret=_interpret(),
+        )(
+            fac.LUh, fac.LUl, fac.Xh, fac.Xl, fac.perm, yh, yl
+        )
+    return dd.to_f64(xh[:K], xl[:K])

@@ -618,9 +618,19 @@ class BandedBackend:
         the candidate count. ~128 MB VMEM on the v5e; budget 90 MB."""
         if not self.use_pallas:
             return None
+        from sleipnir_tpu.ops.pallas_banded import (  # noqa: PLC0415
+            pallas_is_chunked,
+        )
+
+        if pallas_is_chunked(self.K, self.w):
+            # The chunked-grid kernels carry state in scratch across
+            # sequential grid steps; vmapping them (the batched ladder)
+            # is not exercised — escalate sequentially instead.
+            return 1
         tile_rows = -(-(self.K * self.w) // 8)
         per_candidate = 4 * tile_rows * 8 * 128 * 4
-        return max(1, int(90e6 // max(per_candidate, 1)))
+        # ~16 MB scoped-vmem limit per kernel call on the v5e
+        return max(1, int(16e6 // max(per_candidate, 1)))
 
     def _inner_factor(self, Ds, Es, eps_inertia):
         """Factor the equilibrated staged system with the selected

@@ -116,3 +116,43 @@ def test_pallas_vmap_ladder():
     for c in range(C):
         xd = np.linalg.solve(_dense(D[c], E), b.reshape(-1))
         assert np.abs(xs[c].reshape(-1) - xd).max() < 1e-9
+
+
+def test_pallas_chunked_matches_single_shot():
+    """The chunked-grid kernels (scratch-carried Schur/solve recursions,
+    streamed stage blocks) must agree with the single-shot path."""
+    from sleipnir_tpu.ops import pallas_banded as pbm
+
+    rng = np.random.default_rng(11)
+    K, w = 150, 4
+    D = rng.standard_normal((K, w, w))
+    D = D + np.swapaxes(D, 1, 2) + 10 * np.eye(w)
+    D[::4] -= 18 * np.eye(w)
+    E = rng.standard_normal((K - 1, w, w))
+    b = rng.standard_normal((K, w))
+
+    fac = pb.pallas_banded_factor(jnp.asarray(D), jnp.asarray(E))
+    x_ref = np.asarray(pb.pallas_banded_solve(fac, jnp.asarray(b)))
+    d_ref = np.asarray(pb.pallas_pivots(fac))
+
+    old_max, old_chunk = pbm._SINGLE_SHOT_MAX_BYTES, pbm._CHUNK
+    pbm._SINGLE_SHOT_MAX_BYTES, pbm._CHUNK = 1, 32  # force 5 chunks, pad
+    jax.clear_caches()  # the wrappers are jitted; same shapes would hit
+    try:
+        fac_c = pb.pallas_banded_factor(jnp.asarray(D), jnp.asarray(E))
+        x_c = np.asarray(pb.pallas_banded_solve(fac_c, jnp.asarray(b)))
+        d_c = np.asarray(pb.pallas_pivots(fac_c))
+    finally:
+        pbm._SINGLE_SHOT_MAX_BYTES, pbm._CHUNK = old_max, old_chunk
+        jax.clear_caches()
+    assert fac_c.LUh.shape[0] == 160  # padded to the chunk multiple
+    assert d_c.shape == d_ref.shape  # padding excluded from pivots
+    # The paths produce different (hi, lo) decompositions of equal
+    # values, and the chain amplifies those representation differences,
+    # so compare each against the dense f64 oracle rather than bitwise.
+    xd = np.linalg.solve(_dense(D, E), b.reshape(-1)).reshape(K, w)
+    # unrefined dd solves; the chain amplifies ~1e-14 per-op error
+    assert np.abs(x_c - xd).max() / np.abs(xd).max() < 1e-7
+    assert np.abs(x_ref - xd).max() / np.abs(xd).max() < 1e-7
+    assert ((d_c > 0) == (d_ref > 0)).all()
+    np.testing.assert_allclose(d_c, d_ref, rtol=1e-6)
