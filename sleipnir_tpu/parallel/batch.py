@@ -135,7 +135,16 @@ def multistart_batched(
 ) -> MultistartResult:
     """Batched multistart: prefer SUCCESS, then lowest cost
     (reference optimization/multistart.hpp:66-74), evaluated across the
-    whole batch in one device computation."""
+    whole batch in one device computation.
+
+    On accelerators the fully-vmapped solve runs its arithmetic on the
+    MXU's multi-pass-f32 f64 emulation path (~1e-8-class derivative
+    noise — docs/tpu_numerics.md), so the batch may converge only to
+    ~1e-6. The winner is therefore RE-POLISHED with one single-instance
+    warm-started solve, which uses the exact sequential probe path and
+    reaches the full 1e-8 tolerance — restoring the reference's contract
+    that multistart returns full-tolerance solutions
+    (multistart.hpp:45-74) at the cost of one extra warm solve."""
     statuses, costs, xs, _ = solve_ipm_batched(
         problem, initial_guesses, options, mesh
     )
@@ -144,6 +153,29 @@ def multistart_batched(
         key=lambda i: (int(statuses[i] != int(ExitStatus.SUCCESS)), costs[i]),
     )
     best = order[0]
-    return MultistartResult(
-        ExitStatus(int(statuses[best])), float(costs[best]), xs[best]
-    )
+    status = ExitStatus(int(statuses[best]))
+    cost = float(costs[best])
+    x_best = xs[best]
+    if jax.default_backend() != "cpu" and status == ExitStatus.SUCCESS:
+        from sleipnir_tpu.autodiff import expression as ex  # noqa: PLC0415
+
+        comp = problem._compile()
+        ids = comp["all_ids"]
+        saved = ex._registry.get(ids).copy()
+        try:
+            ex._registry.set(ids, np.asarray(x_best, dtype=np.float64))
+            polish_status = problem.solve(options)
+            if polish_status == ExitStatus.SUCCESS:
+                x_best = ex._registry.get(ids).copy()
+                cost = float(problem._last_state.f)
+            status = (
+                ExitStatus.SUCCESS
+                if polish_status == ExitStatus.SUCCESS
+                else status
+            )
+            if polish_status != ExitStatus.SUCCESS:
+                ex._registry.set(ids, saved)
+        except Exception:
+            ex._registry.set(ids, saved)
+            raise
+    return MultistartResult(status, cost, x_best)

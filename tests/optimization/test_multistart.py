@@ -4,6 +4,7 @@ multiple local minima)."""
 
 import math
 
+import jax
 import numpy as np
 import pytest
 
@@ -99,3 +100,32 @@ def test_solve_ipm_batched_statuses_and_costs():
             np.testing.assert_allclose(
                 xv, [sx.value(), sy.value()], atol=1e-6
             )
+
+
+def test_multistart_winner_polish(monkeypatch):
+    """On accelerators the batched winner is re-polished with a
+    single-instance warm-started solve to the full tolerance (the
+    fully-vmapped batch inherits ~1e-8 MXU f64-emulation noise on TPU;
+    reference bar: multistart.hpp:45-74 returns full-tolerance
+    solutions). Forced on CPU by faking the backend gate."""
+    import sleipnir_tpu.parallel.batch as batch_mod
+
+    problem = slp.Problem()
+    x = problem.decision_variable()
+    y = problem.decision_variable()
+    problem.minimize((x - 2.0) ** 2 + (y + 1.0) ** 2)
+    problem.subject_to(x <= 5.0)
+
+    real_backend = jax.default_backend
+
+    monkeypatch.setattr(
+        batch_mod.jax, "default_backend", lambda: "tpu"
+    )
+    # problem.solve still runs on the real (CPU) backend.
+    guesses = [np.array([0.0, 0.0]), np.array([4.0, 4.0])]
+    res = slp.multistart(problem, guesses)
+    monkeypatch.setattr(batch_mod.jax, "default_backend", real_backend)
+    assert res.status == slp.ExitStatus.SUCCESS
+    np.testing.assert_allclose(
+        np.asarray(res.variables), [2.0, -1.0], atol=1e-7
+    )
