@@ -470,8 +470,14 @@ def pallas_pivots(fac: PallasBandedFactor):
 #: so a single-shot factorization's four arrays must stay well under it.
 _SINGLE_SHOT_MAX_BYTES = 3_500_000
 
-#: Stages per chunk in the chunked-grid kernels.
+#: Stages per chunk in the chunked-grid kernels: Pallas double-buffers
+#: every blocked operand (8 per kernel), so the per-chunk footprint is
+#: ~16 x (C·w/8) x 4 KB and must stay under the ~16 MB scoped limit.
 _CHUNK = 512
+
+
+def _chunk_for(w: int) -> int:
+    return max(64, min(_CHUNK, (1408 // max(w, 1)) // 8 * 8))
 
 
 def pallas_is_chunked(K: int, w: int) -> bool:
@@ -620,7 +626,7 @@ def _pallas_factor_chunked(Dh, Dl, Eh, El, K, w):
     from jax.experimental import pallas as pl  # noqa: PLC0415
     from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
 
-    C = _CHUNK
+    C = _chunk_for(w)
     nc = -(-K // C)
     Kp = nc * C
     Dh, Dl, Eh, El = _pad_stages(Dh, Dl, Eh, El, K, w, Kp)
@@ -667,7 +673,7 @@ def _pallas_solve_chunked(fac: PallasBandedFactor, bh, bl, K, w):
     from jax.experimental import pallas as pl  # noqa: PLC0415
     from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
 
-    C = _CHUNK
+    C = _chunk_for(w)
     Kp = fac.LUh.shape[0]
     nc = Kp // C
     pad = Kp - K

@@ -136,7 +136,7 @@ def test_pallas_chunked_matches_single_shot():
     d_ref = np.asarray(pb.pallas_pivots(fac))
 
     old_max, old_chunk = pbm._SINGLE_SHOT_MAX_BYTES, pbm._CHUNK
-    pbm._SINGLE_SHOT_MAX_BYTES, pbm._CHUNK = 1, 32  # force 5 chunks, pad
+    pbm._SINGLE_SHOT_MAX_BYTES, pbm._CHUNK = 1, 64  # force 3 chunks, pad
     jax.clear_caches()  # the wrappers are jitted; same shapes would hit
     try:
         fac_c = pb.pallas_banded_factor(jnp.asarray(D), jnp.asarray(E))
@@ -145,7 +145,7 @@ def test_pallas_chunked_matches_single_shot():
     finally:
         pbm._SINGLE_SHOT_MAX_BYTES, pbm._CHUNK = old_max, old_chunk
         jax.clear_caches()
-    assert fac_c.LUh.shape[0] == 160  # padded to the chunk multiple
+    assert fac_c.LUh.shape[0] == 192  # padded to the chunk multiple
     assert d_c.shape == d_ref.shape  # padding excluded from pivots
     # The paths produce different (hi, lo) decompositions of equal
     # values, and the chain amplifies those representation differences,

@@ -41,7 +41,11 @@ def bench(fn, *args, reps=20):
 
 def main():
     print(f"backend: {jax.default_backend()}")
-    for K, w in [(101, 13), (1001, 3), (5001, 3), (1001, 9)]:
+    import os as _os
+    cfgs = [(101, 13), (1001, 3), (5001, 3), (1001, 9)]
+    if _os.environ.get('BIG'):
+        cfgs = [(5001, 13)]
+    for K, w in cfgs:
         rng = np.random.default_rng(42)
         D = rng.standard_normal((K, w, w))
         D = D + np.swapaxes(D, 1, 2) + 10 * np.eye(w)

@@ -74,6 +74,11 @@ def cart_pole(N):
     return build
 
 
+def north_star():
+    """Cart-pole N=5000 — the BASELINE.json north-star configuration."""
+    run("cart-pole N=5000", cart_pole(5000), n_warm=1)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "flywheel"):
@@ -82,6 +87,8 @@ def main():
     if which in ("all", "cartpole"):
         run("cart-pole N=250", cart_pole(250))
         run("cart-pole N=1000", cart_pole(1000))
+    if which == "northstar":
+        north_star()
 
 
 if __name__ == "__main__":
