@@ -37,6 +37,7 @@ from sleipnir_tpu.optimization.solver.funcs import (
 from sleipnir_tpu.optimization.solver.options import Options
 from sleipnir_tpu.optimization.solver.util.filter import (
     FilterState,
+    check_acceptance,
     make_filter,
     reset_filter,
     try_add,
@@ -62,6 +63,7 @@ KAPPA_MU = 0.2  # :310
 THETA_MU = 1.5  # :314
 MAX_SOC_ITERATIONS = 5  # :574
 MAX_LINE_SEARCH_TRIPS = 64  # safety net (α halves from 1 past 1e-7 in 24)
+MAX_BACKTRACKS = 24  # α ≤ 1 halves below ALPHA_MIN within 24 steps
 DIVERGENCE_LIMIT = 1e10  # :405
 
 
@@ -582,6 +584,77 @@ def make_interior_point(
             alpha_next = c.alpha * ALPHA_REDUCTION_FACTOR
             hit_min = alpha_next < ALPHA_MIN
 
+            # ---- batched backtracking ladder -------------------------
+            # A rejected trial normally halves α and pays another
+            # sequential while-loop trip (~0.3 ms on TPU regardless of
+            # body size — docs/tpu_numerics.md "latency model"). Instead,
+            # evaluate ALL remaining halving candidates in one batched
+            # shot against the current filter — valid because filter
+            # ENTRIES only change on acceptance, which terminates the
+            # backtracking (util/filter.py try_add) — and jump α directly
+            # to the first candidate the sequential loop would stop at:
+            # an acceptance, a mid-ladder filter reset (fsrc ≥ 4 +
+            # rejection-due-to-filter, reference :673-684), or the last
+            # trial above α_min (whose trip runs the KKT fallback / FR
+            # exit, reference :691-716). The landing trip re-evaluates
+            # its candidate on the exact scalar path, so TPU vmap noise
+            # in the prediction costs at most one extra trip, never a
+            # wrong accept.
+            def _jump(_):
+                rs = ALPHA_REDUCTION_FACTOR ** jnp.arange(
+                    1, MAX_BACKTRACKS + 1, dtype=dtype
+                )
+                alphas = c.alpha * rs  # (J,)
+                idx = jnp.arange(MAX_BACKTRACKS)
+                # Last sequential trial: first j whose halving would fall
+                # below α_min.
+                below = alphas * ALPHA_REDUCTION_FACTOR < ALPHA_MIN
+                jlast = jnp.argmax(below)
+
+                def trial(a):
+                    tx_ = x + a * c.p_x
+                    tci_ = F.c_i(tx_)
+                    ts_ = jnp.where(feasible_sub, tci_, s + a * c.p_s)
+                    tf_ = F.f(tx_)
+                    tce_ = F.c_e(tx_)
+                    return phi(tf_, ts_, mu), viol(tce_, tci_, ts_)
+
+                tphis, tviols = jax.vmap(trial)(alphas)
+                accs, rejected_pres, in_filters, finites, _sw, _ar = (
+                    jax.vmap(
+                        lambda a, tc, tv: check_acceptance(
+                            filt_after, current_cost, current_viol, tc,
+                            tv, D_phi, a,
+                        )
+                    )(alphas, tphis, tviols)
+                )
+                rejf = finites & ~rejected_pres & in_filters
+                reset_possible = (fsrc1 >= 4) & (
+                    filt_after.max_viol > current_viol / 10.0
+                )
+                stop = accs | (reset_possible & ~accs & rejf)
+                stop = (stop & (idx <= jlast)) | (idx == jlast)
+                jstop = jnp.argmax(stop)
+                # last_rejection_due_to_filter entering the landing trip:
+                # set by the last finite rejected trial jumped over
+                # (try_add leaves it unchanged on nonfinite trials).
+                prior = (idx < jstop) & finites
+                lastp = jnp.max(jnp.where(prior, idx, -1))
+                flag = jnp.where(
+                    lastp >= 0,
+                    rejf[jnp.maximum(lastp, 0)],
+                    filt_after.last_rejection_due_to_filter,
+                )
+                return alphas[jstop], flag
+
+            def _no_jump(_):
+                return alpha_next, filt_after.last_rejection_due_to_filter
+
+            run_jump = ~nonfinite & ~acc_total & ~reset_cond & ~hit_min
+            alpha_jumped, flag_jumped = lax.cond(
+                run_jump, _jump, _no_jump, 0
+            )
+
             # KKT-error-reduction fallback at minimum step (reference :691-716)
             def kkt_fallback(_):
                 cur_err = kkt_error_ipm_one_products(
@@ -695,8 +768,10 @@ def make_interior_point(
                 filt=filt_reset, fsrc=fsrc1, guard=guard
             )
             carry_reduce = c._replace(
-                alpha=alpha_next,
-                filt=filt_after,
+                alpha=alpha_jumped,
+                filt=filt_after._replace(
+                    last_rejection_due_to_filter=flag_jumped
+                ),
                 fsrc=fsrc1,
                 guard=guard,
                 done=guard_trip,

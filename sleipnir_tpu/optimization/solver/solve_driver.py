@@ -27,8 +27,22 @@ from sleipnir_tpu.optimization.solver import status_codes
 from sleipnir_tpu.optimization.solver.exit_status import ExitStatus
 from sleipnir_tpu.optimization.solver.options import Options
 
-#: Iterations per device round-trip in the fast path.
+#: Iterations per device round-trip in the fast path (upper bound — the
+#: driver adapts the chunk to the measured per-iteration time, see
+#: TARGET_CHUNK_SECONDS).
 DEFAULT_CHUNK = 256
+
+#: First-chunk size before any per-iteration timing exists.
+INITIAL_CHUNK = 16
+
+#: Soft cap on the wall time of a single device execution. TPU runtimes
+#: kill device programs that run too long (measured on the v5e through
+#: the axon tunnel: cart-pole N=5000 at ~0.26 s/iteration crashed the
+#: worker process on every 256-iteration chunk (~67 s/execution), while
+#: the same program runs 600+ iterations without incident in 8-iteration
+#: chunks — tools/northstar_drive.py). 20 s keeps a healthy margin and
+#: still amortizes the per-call dispatch to noise.
+TARGET_CHUNK_SECONDS = 20.0
 
 
 def make_runner(step: Callable) -> Callable:
@@ -79,9 +93,8 @@ def run_solver(
     # path with a cap of one iteration, so callbacks/diagnostics never pay
     # for compiling a second program (the per-iteration jitted step used
     # to take minutes of extra XLA compile time at benchmark sizes).
-    chunk = 1 if observed else (
-        32 if np.isfinite(options.timeout) else DEFAULT_CHUNK
-    )
+    max_chunk = 32 if np.isfinite(options.timeout) else DEFAULT_CHUNK
+    chunk = 1 if observed else min(INITIAL_CHUNK, max_chunk)
 
     if runner is None:
         runner = make_runner(step)
@@ -127,15 +140,29 @@ def run_solver(
                 if options.diagnostics and diagnostics_fn is not None:
                     diagnostics_fn(prev_state, state)
             else:
-                cap = min(
-                    int(state.iterations) + chunk, options.max_iterations
-                )
+                it_before = int(state.iterations)
+                cap = min(it_before + chunk, options.max_iterations)
                 if profilers is not None:
                     profilers["iterate"].start()
+                t0_chunk = time.monotonic()
                 state = runner(state, np.int32(cap))
+                jax.block_until_ready(state)
+                dt_chunk = time.monotonic() - t0_chunk
                 if profilers is not None:
-                    jax.block_until_ready(state)
                     profilers["iterate"].stop()
+                # Grow the chunk toward TARGET_CHUNK_SECONDS per device
+                # execution: big enough to amortize dispatch, small
+                # enough that the runtime's long-execution watchdog
+                # never fires (see TARGET_CHUNK_SECONDS).
+                done_iters = int(state.iterations) - it_before
+                if done_iters > 0 and dt_chunk > 0:
+                    per_iter = dt_chunk / done_iters
+                    chunk = int(
+                        min(
+                            max_chunk,
+                            max(8.0, TARGET_CHUNK_SECONDS / per_iter),
+                        )
+                    )
         elif status == status_codes.FEASIBILITY_RESTORATION_REQUESTED:
             if restoration_handler is None:
                 state = state._replace(

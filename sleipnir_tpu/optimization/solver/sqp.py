@@ -26,6 +26,7 @@ from sleipnir_tpu.optimization.solver.kkt_backend import DenseBackend
 from sleipnir_tpu.optimization.solver.options import Options
 from sleipnir_tpu.optimization.solver.util.filter import (
     FilterState,
+    check_acceptance,
     make_filter,
     reset_filter,
     try_add,
@@ -37,6 +38,7 @@ from sleipnir_tpu.optimization.solver.util.kkt_error import (
 
 ALPHA_REDUCTION_FACTOR = 0.5  # sqp.hpp:237
 ALPHA_MIN = 1e-7  # sqp.hpp:238
+MAX_BACKTRACKS = 24  # α ≤ 1 halves below ALPHA_MIN within 24 steps
 KAPPA_SOC = 0.99  # sqp.hpp:440
 MAX_SOC_ITERATIONS = 5  # sqp.hpp:390
 MAX_LINE_SEARCH_TRIPS = 64
@@ -360,6 +362,59 @@ def make_sqp(funcs: SQPFunctions, options: Options, *, backend=None):
             alpha_next = c.alpha * ALPHA_REDUCTION_FACTOR
             hit_min = alpha_next < ALPHA_MIN
 
+            # Batched backtracking ladder — one vectorized evaluation of
+            # every remaining halving candidate replaces the sequential
+            # trips (see interior_point.py ls_body for the semantics
+            # argument: filter entries only change on acceptance, which
+            # terminates the backtracking; the landing trip re-evaluates
+            # its candidate on the exact scalar path).
+            def _jump(_):
+                rs = ALPHA_REDUCTION_FACTOR ** jnp.arange(
+                    1, MAX_BACKTRACKS + 1, dtype=dtype
+                )
+                alphas = c.alpha * rs
+                idx = jnp.arange(MAX_BACKTRACKS)
+                below = alphas * ALPHA_REDUCTION_FACTOR < ALPHA_MIN
+                jlast = jnp.argmax(below)
+
+                def trial(a):
+                    tx_ = x + a * c.p_x
+                    tf_ = F.f(tx_)
+                    tce_ = F.c_e(tx_)
+                    return tf_, _one_norm(tce_)
+
+                tfs, tviols = jax.vmap(trial)(alphas)
+                accs, rejected_pres, in_filters, finites, _sw, _ar = (
+                    jax.vmap(
+                        lambda a, tc, tv: check_acceptance(
+                            filt_after, f, current_viol, tc, tv, D_phi, a
+                        )
+                    )(alphas, tfs, tviols)
+                )
+                rejf = finites & ~rejected_pres & in_filters
+                reset_possible = (fsrc1 >= 4) & (
+                    filt_after.max_viol > current_viol / 10.0
+                )
+                stop = accs | (reset_possible & ~accs & rejf)
+                stop = (stop & (idx <= jlast)) | (idx == jlast)
+                jstop = jnp.argmax(stop)
+                prior = (idx < jstop) & finites
+                lastp = jnp.max(jnp.where(prior, idx, -1))
+                flag = jnp.where(
+                    lastp >= 0,
+                    rejf[jnp.maximum(lastp, 0)],
+                    filt_after.last_rejection_due_to_filter,
+                )
+                return alphas[jstop], flag
+
+            def _no_jump(_):
+                return alpha_next, filt_after.last_rejection_due_to_filter
+
+            run_jump = ~nonfinite & ~acc_total & ~reset_cond & ~hit_min
+            alpha_jumped, flag_jumped = lax.cond(
+                run_jump, _jump, _no_jump, 0
+            )
+
             def kkt_fallback(_):
                 cur_err = kkt_error_sqp_one_products(
                     g, backend.AeT(derivs, y), c_e, y
@@ -407,8 +462,10 @@ def make_sqp(funcs: SQPFunctions, options: Options, *, backend=None):
             )
             carry_reset = c._replace(filt=filt_reset, fsrc=fsrc1, guard=guard)
             carry_reduce = c._replace(
-                alpha=alpha_next,
-                filt=filt_after,
+                alpha=alpha_jumped,
+                filt=filt_after._replace(
+                    last_rejection_due_to_filter=flag_jumped
+                ),
                 fsrc=fsrc1,
                 guard=guard,
                 done=guard_trip,

@@ -76,12 +76,16 @@ def _add_entry(f: FilterState, cost, viol) -> FilterState:
     )
 
 
-def try_add(f: FilterState, current_cost, current_viol, trial_cost, trial_viol,
-            D_phi, alpha):
-    """Check whether the trial iterate is acceptable, adding a filter entry
-    when appropriate. Returns (accepted: bool, new_filter_state).
+def check_acceptance(f: FilterState, current_cost, current_viol, trial_cost,
+                     trial_viol, D_phi, alpha):
+    """Pure acceptance predicate for a trial iterate against this filter —
+    the decision half of try_add, with no state mutation. Returns
+    (accepted, rejected_pre_filter, in_filter, finite, switching, armijo).
 
-    Port of reference filter.hpp:109-172.
+    Shared by try_add and the batched line-search ladder (which evaluates
+    every backtracking candidate against the same filter entries in one
+    shot — valid because filter entries only change on acceptance, which
+    terminates the backtracking). Port of reference filter.hpp:109-158.
     """
     finite = jnp.isfinite(trial_cost) & (trial_viol <= f.max_viol)
 
@@ -111,6 +115,23 @@ def try_add(f: FilterState, current_cost, current_viol, trial_cost, trial_viol,
     )
 
     accepted = finite & ~rejected_pre_filter & ~in_filter
+    return accepted, rejected_pre_filter, in_filter, finite, switching, armijo
+
+
+def try_add(f: FilterState, current_cost, current_viol, trial_cost, trial_viol,
+            D_phi, alpha):
+    """Check whether the trial iterate is acceptable, adding a filter entry
+    when appropriate. Returns (accepted: bool, new_filter_state).
+
+    Port of reference filter.hpp:109-172.
+    """
+    accepted, rejected_pre_filter, in_filter, finite, switching, armijo = (
+        check_acceptance(
+            f, current_cost, current_viol, trial_cost, trial_viol, D_phi,
+            alpha,
+        )
+    )
+    phi = alpha**1.5
 
     # Augment filter if switching or Armijo condition are false
     # (reference filter.hpp:163-169)
