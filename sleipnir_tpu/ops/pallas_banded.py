@@ -477,7 +477,15 @@ _CHUNK = 512
 
 
 def _chunk_for(w: int) -> int:
-    return max(64, min(_CHUNK, (1408 // max(w, 1)) // 8 * 8))
+    """Stages per grid step for the chunked kernels, sized so the call's
+    scoped-VMEM footprint stays under the ~16 MB limit: the pipeline
+    holds ~17 (C, w, w) f32 blocks (4 in + 7 out + double-buffering),
+    each C·w sublanes × 128 lanes, so C·w ≈ 1408 keeps the footprint
+    ≈ 12 MB at any width. The floor must stay small: a 64-stage floor
+    overflowed scoped VMEM by 4.1 MB at w = 37 (the width of a
+    feasibility-restoration system over a w = 13 parent — cart-pole
+    N = 5000's restoration excursion was the first to hit it)."""
+    return max(8, min(_CHUNK, (1408 // max(w, 1)) // 8 * 8))
 
 
 def pallas_is_chunked(K: int, w: int) -> bool:
