@@ -80,6 +80,55 @@ def main():
             break
     print(f"total {time.monotonic() - t_start:.0f}s", flush=True)
 
+    # Decompose the final unscaled KKT error into its components
+    # (mirrors util/kkt_error.unscaled_kkt_error_ipm_products).
+    from sleipnir_tpu.optimization.solver.funcs import bind
+    from sleipnir_tpu.optimization.solver.util.kkt_error import S_MAX
+
+    funcs = bundle[3]
+    backend = bundle[-1]
+    F = bind(funcs, jnp.asarray(params), sc, jnp.float64)
+
+    @jax.jit
+    def components(stt):
+        x, s, y, z, mu = stt.x, stt.s, stt.y, stt.z, stt.mu
+        g = F.g(x)
+        d = backend.eval_derivs(F, x, y, z)
+        AeT_y = backend.AeT(d, y)
+        AiT_z = backend.AiT(d, z)
+        c_e = F.c_e(x)
+        c_i = F.c_i(x)
+        inv_d_f = 1.0 / sc.f
+        grad = (g - AeT_y - AiT_z) * inv_d_f
+        c_e_u = c_e / sc.c_e
+        c_i_u = c_i / sc.c_i
+        s_u = s / sc.c_i
+        y_u = sc.c_e * y * inv_d_f
+        z_u = sc.c_i * z * inv_d_f
+        m = c_e.shape[0] + c_i.shape[0]
+        one = lambda v: jnp.sum(jnp.abs(v))  # noqa: E731
+        inf = lambda v: jnp.max(jnp.abs(v))  # noqa: E731
+        s_d = jnp.maximum(S_MAX, (one(y_u) + one(z_u)) / m) / S_MAX
+        s_c = jnp.maximum(S_MAX, one(z_u) / c_i.shape[0]) / S_MAX
+        return (
+            inf(grad) / s_d,
+            inf(s_u * z_u - mu * inv_d_f) / s_c,
+            inf(c_e_u),
+            inf(c_i_u - s_u),
+            s_d,
+            inf(y_u),
+        )
+
+    stat, comp, ceq, cin, s_d, y_inf = (
+        float(v) for v in components(state)
+    )
+    print(
+        f"E0 components: stationarity/s_d={stat:.3e} "
+        f"complementarity={comp:.3e} |c_e|={ceq:.3e} |c_i-s|={cin:.3e} "
+        f"(s_d={s_d:.3e}, |y|inf={y_inf:.3e})",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()
